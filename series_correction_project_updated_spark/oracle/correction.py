@@ -1,0 +1,367 @@
+"""Discontinuity detection/correction oracle (single-node, pandas/NumPy).
+
+Reimplements — from scratch, against observed behavior — the reference
+pipeline's three sequential steps (gaps → outliers → jumps) with exact float
+semantics, including every quirk the parity tests pin down:
+
+* NaN-propagating rolling median (``np.median``, not ``nanmedian``) — the
+  reference relies on this for ``min_periods``-like behavior
+  (reference ``scripts/processor.py:213-233`` and comment at ``:222-227``).
+* Modified z-score with ``1e-6`` zero-MAD guards and the inf/0 special cases
+  (reference ``scripts/discontinuity_utils.py:166-203``).
+* CUSUM jump scan with reset-on-trigger — inherently sequential
+  (reference ``scripts/processor.py:181-199``).
+* Jump offsets computed from ORIGINAL values for all jumps, then applied
+  cumulatively via one cumsum (reference ``scripts/processor.py:376-401``;
+  multi-jump semantics pinned by ``scripts/tests/test_processor.py:93-128``).
+* Gap fill inserts ``round((t_after-t_before)/step)-1`` linspace-spaced rows
+  (reference ``scripts/discontinuity_utils.py:49-91``), then interpolates the
+  value column linearly with ``limit_direction="both"`` — the reference's
+  ``method='time'`` always falls back to linear on a numeric time column
+  (``scripts/discontinuity_utils.py:144-163``).
+* Detectors return POSITIONS into the current sorted frame; steps compose
+  sequentially and are not commutable (reference ``scripts/processor.py:540-572``).
+
+All functions operate on plain numpy arrays / pandas frames so they run
+unchanged inside the Spark Arrow kernel.
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Any
+
+import numpy as np
+import pandas as pd
+from numpy.lib.stride_tricks import sliding_window_view
+
+#: Default knobs — mirrors reference scripts/processor.py:468-481.
+DEFAULT_CONFIG: dict[str, Any] = {
+    "window_size": 5,
+    "threshold": 3.0,
+    "gap_threshold_factor": 3.0,
+    "gap_method": "time",
+    "outlier_method": "median",
+    "jump_method": "offset",
+}
+
+_MAD_SCALE = 1.4826  # consistency constant for MAD → sigma
+_EPS = 1e-6
+_MAD_CHUNK = 50_000  # windows per chunk (memory ceiling, reference :170-184)
+
+
+# ---------------------------------------------------------------------------
+# Detection
+# ---------------------------------------------------------------------------
+
+
+def detect_gaps(times: np.ndarray, threshold_factor: float = 3.0) -> list[int]:
+    """Positions (of the row AFTER the gap) where the sampling interval
+    exceeds ``threshold_factor`` × median interval.
+
+    Reference: scripts/processor.py:46-115 (detect_gaps/_find_gap_indices —
+    index semantics "first point after the gap"); zero/negative median ⇒ no
+    gaps (scripts/processor.py:31-43).
+    """
+    if len(times) < 2:
+        return []
+    diffs = np.diff(np.asarray(times, dtype=np.float64))
+    median_diff = np.median(diffs)
+    if median_diff <= 0:
+        return []
+    return (np.where(diffs > threshold_factor * median_diff)[0] + 1).tolist()
+
+
+def _rolling_center_median(values: np.ndarray, window_size: int) -> np.ndarray:
+    """Centered rolling median, NaN-propagating, NaN at the edges.
+
+    Pads ``window_size//2`` left / ``window_size-1-window_size//2`` right with
+    NaN then takes ``np.median`` per window (reference
+    scripts/processor.py:213-227 — NaN-in-window ⇒ NaN by design).
+    """
+    pad_left = window_size // 2
+    pad_right = window_size - 1 - pad_left
+    padded = np.pad(values, (pad_left, pad_right), constant_values=np.nan)
+    windows = sliding_window_view(padded, window_shape=window_size)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", category=RuntimeWarning)
+        return np.median(windows, axis=1)
+
+
+def _rolling_center_mad(values: np.ndarray, rolling_median: np.ndarray, window_size: int) -> np.ndarray:
+    """Centered rolling MAD vs ``rolling_median``; edges NaN; chunked.
+
+    Windows are taken over the RAW (unpadded) values, so only full windows
+    get a MAD and the pad positions stay NaN — matching reference
+    scripts/discontinuity_utils.py:166-189 exactly (incl. 50k-window chunks).
+    """
+    n = len(values)
+    pad = window_size // 2
+    n_windows = n - window_size + 1
+    chunks: list[np.ndarray] = []
+    for start in range(0, n_windows, _MAD_CHUNK):
+        end = min(start + _MAD_CHUNK, n_windows)
+        win = sliding_window_view(values[start : end + window_size - 1], window_shape=window_size)
+        centers = rolling_median[start + pad : end + pad, np.newaxis]
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", category=RuntimeWarning)
+            chunks.append(np.median(np.abs(win - centers), axis=1))
+    flat = np.concatenate(chunks) if chunks else np.array([])
+    return np.pad(flat, (pad, n - len(flat) - pad), constant_values=np.nan)
+
+
+def modified_z_scores(
+    values: np.ndarray, window_size: int, threshold: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """(z_scores, valid_mask) — modified z-score vs centered rolling median/MAD.
+
+    Zero-MAD special cases (reference scripts/discontinuity_utils.py:192-203):
+    scaled MAD < 1e-6 ⇒ z = inf when |dev| > threshold·1e-6, else 0.
+    """
+    rolling_median = _rolling_center_median(values, window_size)
+    scaled_mad = _rolling_center_mad(values, rolling_median, window_size) * _MAD_SCALE
+    with np.errstate(invalid="ignore", divide="ignore"):
+        abs_diff = np.abs(values - rolling_median)
+        z = np.where(
+            scaled_mad < _EPS,
+            np.where(abs_diff > _EPS, np.where(abs_diff > threshold * _EPS, np.inf, 0.0), 0.0),
+            abs_diff / scaled_mad,
+        )
+        valid = ~np.isnan(rolling_median) & ~np.isnan(scaled_mad)
+    return z, valid
+
+
+def detect_outliers(values: np.ndarray, window_size: int = 5, threshold: float = 3.0) -> list[int]:
+    """Positions whose modified z-score exceeds ``threshold``.
+
+    Reference: scripts/processor.py:236-276 + _calculate_outlier_indices
+    (:213-233). Short series (< window_size) ⇒ []; NaN values never flag.
+    """
+    values = np.asarray(values, dtype=np.float64)
+    if len(values) < window_size:
+        return []
+    z, valid = modified_z_scores(values, window_size, threshold)
+    return np.where(valid & (z > threshold))[0].tolist()
+
+
+def detect_jumps(values: np.ndarray, window_size: int = 5, threshold: float = 3.0) -> list[int]:
+    """CUSUM-style level-shift detection against the PREVIOUS trailing window.
+
+    Per position i ≥ window_size: deviation = v[i] − mean(prev window), divided
+    by std(prev window, ddof=1) when std > 1e-6; a running signed sum triggers
+    (and resets) when |cusum| > threshold. Sequential by construction.
+    Reference: scripts/processor.py:118-199.
+    """
+    values = np.asarray(values, dtype=np.float64)
+    n = len(values)
+    if n < window_size * 2:
+        return []
+
+    series = pd.Series(values)
+    rolling_mean = series.rolling(window=window_size).mean().to_numpy()
+    rolling_std = series.rolling(window=window_size).std().to_numpy()  # ddof=1
+
+    mean_prev = np.roll(rolling_mean, 1)
+    std_prev = np.roll(rolling_std, 1)
+    valid = np.arange(n) >= window_size
+
+    deviations = np.zeros(n)
+    np.subtract(values, mean_prev, out=deviations, where=valid)
+    normalized = np.zeros(n)
+    with np.errstate(invalid="ignore"):
+        std_ok = (std_prev > _EPS) & valid & ~np.isnan(std_prev)
+    np.divide(deviations, std_prev, out=normalized, where=std_ok)
+
+    jumps: list[int] = []
+    cusum = 0.0
+    for i in range(window_size, n):
+        cusum += normalized[i]
+        if abs(cusum) > threshold:
+            jumps.append(i)
+            cusum = 0.0
+    return jumps
+
+
+# ---------------------------------------------------------------------------
+# Correction
+# ---------------------------------------------------------------------------
+
+
+def _gap_fill_times(times: np.ndarray, gap_indices: list[int]) -> np.ndarray | None:
+    """Synthesize timestamps inside each gap.
+
+    Per gap (descending, deduped, position 0 skipped): normal step is the
+    interval just before the gap (or just after, at the series head);
+    ``num_missing = round((t_after − t_before)/step) − 1``; new times are
+    ``linspace(t_before+step, t_after−step, num_missing)`` — evenly spaced,
+    NOT fixed-step. Reference: scripts/discontinuity_utils.py:28-141.
+    """
+    times = np.asarray(times, dtype=np.float64)
+    n = len(times)
+    seen: set[int] = set()
+    pieces: list[np.ndarray] = []
+    for g in sorted(gap_indices, reverse=True):
+        if g in seen or g == 0:
+            continue
+        t_before, t_after = times[g - 1], times[g]
+        if g - 1 > 0:
+            step = times[g - 1] - times[g - 2]
+        elif n > g + 1:
+            step = times[g + 1] - times[g]
+        else:
+            continue
+        if not step > 0:
+            continue
+        num_missing = round((t_after - t_before) / step) - 1
+        if num_missing <= 0:
+            continue
+        pieces.append(np.linspace(t_before + step, t_after - step, num=num_missing))
+        seen.add(g)
+    if not pieces:
+        return None
+    return np.concatenate(pieces)
+
+
+def correct_gaps(
+    df: pd.DataFrame,
+    gap_indices: list[int],
+    time_col: str,
+    value_cols: list[str],
+    method: str = "time",
+) -> pd.DataFrame:
+    """Insert linspace-spaced rows inside gaps, then interpolate value cols.
+
+    Non-value columns of inserted rows stay NaN. ``method='time'`` on a
+    numeric time column falls back to linear (reference
+    scripts/discontinuity_utils.py:144-163); ``limit_direction='both'``
+    fills the edges too. Reference: scripts/processor.py:279-338.
+    """
+    if not gap_indices:
+        return df.copy()
+    result = df.sort_values(by=time_col).reset_index(drop=True)
+    new_times = _gap_fill_times(result[time_col].to_numpy(), gap_indices)
+    if new_times is not None:
+        gaps_df = pd.DataFrame(np.nan, index=range(len(new_times)), columns=result.columns)
+        gaps_df[time_col] = new_times
+        result = pd.concat([result, gaps_df], ignore_index=True)
+        result = result.sort_values(by=time_col).reset_index(drop=True)
+    interp_method = "linear" if method == "time" else method
+    result[value_cols] = result[value_cols].interpolate(method=interp_method, limit_direction="both")
+    return result
+
+
+def correct_outliers(
+    df: pd.DataFrame,
+    outlier_indices: list[int],
+    value_col: str,
+    window_size: int = 5,
+    method: str = "median",
+) -> pd.DataFrame:
+    """Replace flagged positions via median/mean of the surrounding window
+    (flagged positions excluded), linear interpolation, or NaN removal.
+
+    The replacement window is ``2*(window_size//2)+1`` wide, centered;
+    NaN-padded at the edges. Reference: scripts/processor.py:407-465 +
+    scripts/discontinuity_utils.py:206-258.
+    """
+    if not outlier_indices:
+        return df.copy()
+    result = df.copy()
+    if method == "interpolate":
+        result.loc[outlier_indices, value_col] = np.nan
+        result[value_col] = result[value_col].interpolate(method="linear", limit_direction="both")
+        return result
+    if method == "remove":
+        result.loc[outlier_indices, value_col] = np.nan
+        return result
+    if method not in ("median", "mean"):
+        return result
+
+    values = result[value_col].astype(float).to_numpy(copy=True)
+    n = len(values)
+    calc = values.copy()
+    mask = np.zeros(n, dtype=bool)
+    mask[outlier_indices] = True
+    calc[mask] = np.nan
+    pad = window_size // 2
+    padded = np.pad(calc, (pad, pad), constant_values=np.nan)
+    windows = sliding_window_view(padded, window_shape=2 * pad + 1)[outlier_indices]
+    with np.errstate(invalid="ignore"), warnings.catch_warnings():
+        warnings.simplefilter("ignore", category=RuntimeWarning)
+        repl = np.nanmedian(windows, axis=1) if method == "median" else np.nanmean(windows, axis=1)
+    ok = ~np.isnan(repl)
+    idx = np.asarray(outlier_indices)[ok]
+    values[idx] = repl[ok]
+    result[value_col] = values
+    return result
+
+
+def correct_jumps(
+    df: pd.DataFrame, jump_indices: list[int], value_col: str, window_size: int = 5
+) -> pd.DataFrame:
+    """Offset-correct level shifts.
+
+    For each in-bounds jump j (window_size ≤ j < n−window_size): offset =
+    nanmedian(values[j−w : j]) − nanmedian(values[j : j+w]), all computed on
+    ORIGINAL values; offsets land at their positions and one cumsum applies
+    them to everything downstream. Reference: scripts/processor.py:341-404;
+    cumulative semantics pinned by scripts/tests/test_processor.py:93-128.
+    """
+    if not jump_indices:
+        return df.copy()
+    result = df.copy()
+    n = len(result)
+    valid = sorted(j for j in jump_indices if window_size <= j < n - window_size)
+    if not valid:
+        return result
+    values = result[value_col].astype(float).to_numpy(copy=True)
+    jumps = np.asarray(valid)
+    windows = sliding_window_view(values, window_shape=window_size)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", category=RuntimeWarning)
+        before = np.nanmedian(windows[jumps - window_size], axis=1)
+        after = np.nanmedian(windows[jumps], axis=1)
+    ok = ~(np.isnan(before) | np.isnan(after))
+    offsets = np.zeros(n)
+    np.add.at(offsets, jumps[ok], before[ok] - after[ok])
+    result[value_col] = values + np.cumsum(offsets)
+    return result
+
+
+# ---------------------------------------------------------------------------
+# Full pipeline
+# ---------------------------------------------------------------------------
+
+
+def process_series(
+    df: pd.DataFrame,
+    time_col: str,
+    value_col: str,
+    config: dict[str, Any] | None = None,
+) -> pd.DataFrame:
+    """Sequential 3-step pipeline: gaps → outliers → jumps (ORDER MATTERS).
+
+    Expects a numeric time column (callers convert timestamps to epoch
+    seconds first — reference scripts/discontinuity_utils.py:261-291). Each
+    detector sees the PREVIOUS step's output frame; only the gap step
+    re-sorts. Reference: scripts/processor.py:484-572.
+    """
+    cfg = {**DEFAULT_CONFIG, **(config or {})}
+    data = df.sort_values(by=time_col).reset_index(drop=True)
+
+    gaps = detect_gaps(data[time_col].to_numpy(), cfg["gap_threshold_factor"])
+    if gaps:
+        data = correct_gaps(data, gaps, time_col, [value_col], cfg["gap_method"])
+        data = data.sort_values(by=time_col).reset_index(drop=True)
+
+    outliers = detect_outliers(
+        data[value_col].astype(float).to_numpy(), cfg["window_size"], cfg["threshold"]
+    )
+    if outliers:
+        data = correct_outliers(data, outliers, value_col, cfg["window_size"], cfg["outlier_method"])
+
+    jumps = detect_jumps(data[value_col].to_numpy(), cfg["window_size"], cfg["threshold"])
+    if jumps:
+        data = correct_jumps(data, jumps, value_col, cfg["window_size"])
+
+    return data
