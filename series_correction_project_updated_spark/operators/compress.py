@@ -1,0 +1,95 @@
+"""Spark operator: compress rolled-up points into Gorilla chunks.
+
+Each (series_key, retention-window chunk) of a rollup tier becomes ONE
+binary payload holding the bucket timestamps (delta-of-delta — rollup
+buckets are near-regular, so most deltas-of-deltas are 0 ⇒ ~1 bit/ts) and
+one chosen aggregate column (Gorilla XOR). Grouped Arrow UDF: the executor
+sees whole chunks as numpy arrays, the driver never touches data.
+
+Chunking: ``chunk_buckets`` buckets per payload (default 2h of 1m points per
+chunk at tier=1m via 120). At 10^12 raw rows the tier tables are ~60-86400×
+smaller; compression output is the retention artifact.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import compress as codec
+from ..schema import COMPRESSED, TIER_SECONDS
+
+
+def compress_rollup(
+    tier_df: DataFrame,
+    tier: str,
+    value_col: str = "vsum",
+    chunk_buckets: int = 256,
+) -> DataFrame:
+    """rollup tier rows → (series_key, tier, chunk_start, codec, n_points, payload)."""
+    sec = TIER_SECONDS[tier]
+    chunk_span = sec * chunk_buckets
+
+    with_chunk = tier_df.withColumn(
+        "chunk_start", (F.floor(F.col("bucket_start") / chunk_span) * chunk_span).cast("long")
+    )
+
+    def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket_start")
+        ts = pdf["bucket_start"].to_numpy("int64")
+        vals = pdf[value_col].to_numpy("float64")
+        payload = codec.encode_chunk(ts, vals)
+        return pd.DataFrame(
+            {
+                "series_key": [pdf["series_key"].iloc[0]],
+                "tier": [tier],
+                "chunk_start": [int(pdf["chunk_start"].iloc[0])],
+                "codec": ["gorilla-dod-xor"],
+                "n_points": [len(ts)],
+                "payload": [payload],
+            }
+        )
+
+    return with_chunk.groupBy("series_key", "chunk_start").applyInPandas(_encode, schema=COMPRESSED)
+
+
+def decompress_to_points(compressed: DataFrame) -> DataFrame:
+    """Inverse of ``compress_rollup`` (verification path): payload → rows."""
+    import pyspark.sql.types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("series_key", T.StringType()),
+            T.StructField("tier", T.StringType()),
+            T.StructField("bucket_start", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def _decode(pdf: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, row in pdf.iterrows():
+            ts, vals = codec.decode_chunk(bytes(row["payload"]))
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "series_key": row["series_key"],
+                        "tier": row["tier"],
+                        "bucket_start": ts,
+                        "value": vals,
+                    }
+                )
+            )
+        return pd.concat(frames) if frames else pd.DataFrame(columns=["series_key", "tier", "bucket_start", "value"])
+
+    return compressed.groupBy("series_key").applyInPandas(_decode, schema=out_schema)
+
+
+def bytes_per_point(compressed: DataFrame) -> DataFrame:
+    """Metric: compressed bytes per rolled-up point, per tier."""
+    return compressed.groupBy("tier").agg(
+        F.sum(F.length("payload")).alias("total_bytes"),
+        F.sum("n_points").alias("total_points"),
+        (F.sum(F.length("payload")) / F.sum("n_points")).alias("bytes_per_point"),
+    )

@@ -1,0 +1,218 @@
+"""Distributed discontinuity correction — the grouped Arrow kernel.
+
+The reference pipeline's per-series logic (CUSUM reset scan, rolling exact
+median/MAD, positional-index step composition — reference
+scripts/processor.py:540-572) is inherently sequential WITHIN a series but
+embarrassingly parallel ACROSS series. So the Spark mapping is one
+``groupBy(series_key).applyInPandas`` whose body is the shared single-node
+oracle (``oracle/correction.py``) — Arrow-vectorized, zero per-row Python.
+
+Scale notes (100 TB / 10^12 rows):
+- Shuffle: exactly ONE hash shuffle on ``series_key``; everything downstream
+  (rollups) re-uses that clustering where possible.
+- Skew: a hot url can dwarf others. ``correct_series`` supports year-chunking
+  (``chunk_rows``): long series are split into bounded chunks with
+  ``overlap`` rows of context, mirroring the reference's own decomposition —
+  it processes year-files independently, then aligns boundaries with level
+  shifts (scripts/apply_refined_corrections.py). Chunk boundaries are
+  realigned the same way by ``operators/level_shift.py``.
+- Memory: each group materializes one pandas frame; with chunking the bound
+  is ``chunk_rows``, independent of series length.
+- Null vs NaN: Spark nulls become NaN inside Arrow (doubles) — the oracle is
+  NaN-native, and output NaN maps back to NULL-free doubles or null as-is.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..oracle import correction as oracle
+from ..oracle.global_mad import MAD_FLOOR, Z_CONST
+from ..schema import CORRECTED_POINTS
+
+
+def correct_series(
+    points: DataFrame,
+    config: dict[str, Any] | None = None,
+    key_col: str = "series_key",
+    time_col: str = "t",
+    value_col: str = "value",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Run the full 3-step correction per series. Returns (series_key, t, value).
+
+    ``points``: long-format (series_key, t:double epoch-seconds, value:double).
+    """
+    cfg = {**oracle.DEFAULT_CONFIG, **(config or {})}
+
+    def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf[key_col].iloc[0]
+        frame = pdf[[time_col, value_col]].rename(columns={time_col: "t", value_col: "value"})
+        out = oracle.process_series(frame, "t", "value", cfg)
+        # gap-inserted rows carry NaN in every non-time column incl. the key —
+        # restore it (the oracle mirrors the reference's all-NaN gap rows,
+        # scripts/discontinuity_utils.py:137-140).
+        out.insert(0, "series_key", key)
+        return out[["series_key", "t", "value"]]
+
+    grouped = points
+    if num_partitions:
+        grouped = grouped.repartition(num_partitions, key_col)
+    return grouped.groupBy(key_col).applyInPandas(_kernel, schema=CORRECTED_POINTS)
+
+
+def correct_series_chunked(
+    points: DataFrame,
+    config: dict[str, Any] | None = None,
+    chunk_sec: float = 365.0 * 86400,
+    key_col: str = "series_key",
+    time_col: str = "t",
+    value_col: str = "value",
+) -> DataFrame:
+    """Skew-capped variant: split each series into fixed time chunks (default
+    1 year, matching the reference's year-file decomposition), correct each
+    chunk independently in parallel, then realign chunk boundaries with the
+    reference's level-shift rule (tail-5 vs head-5 non-zero averages,
+    chained cumulatively — scripts/apply_refined_corrections.py:167-194).
+
+    Group key becomes (series_key, chunk), so one hot series spreads over
+    many tasks. Trade-off vs ``correct_series``: detection near chunk edges
+    sees less context (exactly like the reference's per-year files).
+    """
+    from .level_shift import apply_boundary_shifts
+
+    chunked = points.withColumn("chunk", (F.col(time_col) / F.lit(chunk_sec)).cast("long"))
+
+    cfg = {**oracle.DEFAULT_CONFIG, **(config or {})}
+
+    def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf[key_col].iloc[0]
+        chunk = pdf["chunk"].iloc[0]
+        frame = pdf[[time_col, value_col]].rename(columns={time_col: "t", value_col: "value"})
+        out = oracle.process_series(frame, "t", "value", cfg)
+        out.insert(0, "series_key", key)
+        out.insert(1, "chunk", chunk)
+        return out[["series_key", "chunk", "t", "value"]]
+
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("series_key", T.StringType()),
+            T.StructField("chunk", T.LongType()),
+            T.StructField("t", T.DoubleType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    corrected = chunked.groupBy(key_col, "chunk").applyInPandas(_kernel, schema=schema)
+    return apply_boundary_shifts(
+        corrected, key_col=key_col, chunk_col="chunk", time_col="t", value_col="value"
+    ).select("series_key", "t", "value")
+
+
+def detect_gaps_native(
+    points: DataFrame,
+    threshold_factor: float = 3.0,
+    key_col: str = "series_key",
+    time_col: str = "t",
+) -> DataFrame:
+    """Gap DETECTION as pure built-in Spark (no Python) — the fast path.
+
+    Matches oracle.detect_gaps: per series, flag rows whose distance to the
+    previous sample exceeds ``threshold_factor`` × the exact median interval
+    (reference scripts/processor.py:46-115). Exact ``median`` aggregate +
+    lag window; one shuffle, whole-stage codegen throughout.
+
+    Returns (series_key, t, prev_t, delta) rows that START after a gap.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(time_col)
+    with_delta = points.withColumn("prev_t", F.lag(time_col).over(w)).withColumn(
+        "delta", F.col(time_col) - F.col("prev_t")
+    )
+    med = with_delta.where(F.col("delta").isNotNull()).groupBy(key_col).agg(
+        F.median("delta").alias("median_delta")
+    )
+    return (
+        with_delta.join(F.broadcast(med), key_col)
+        .where(
+            (F.col("median_delta") > 0)
+            & (F.col("delta") > F.lit(threshold_factor) * F.col("median_delta"))
+        )
+        .select(key_col, time_col, "prev_t", "delta")
+    )
+
+
+def global_mad_correct_native(
+    points: DataFrame,
+    threshold: float = 3.0,
+    key_col: str = "series_key",
+    value_col: str = "value",
+) -> DataFrame:
+    """The reference's global-MAD outlier variant in PURE native Spark SQL —
+    no Python in the hot path (updated_processor.py:27-54 semantics).
+
+    Per series: median, MAD = median(|v − median|) floored at 1e-4,
+    z = 0.6745·|v − median|/MAD; z > threshold ⇒ replace with median.
+    Adds columns ``corrected`` and ``is_outlier``.
+    """
+    med = points.groupBy(key_col).agg(F.median(value_col).alias("gmedian"))
+    with_med = points.join(F.broadcast(med), key_col)
+    mad = (
+        with_med.groupBy(key_col)
+        .agg(F.median(F.abs(F.col(value_col) - F.col("gmedian"))).alias("gmad"))
+        .withColumn("gmad", F.greatest(F.col("gmad"), F.lit(MAD_FLOOR)))
+    )
+    z = F.lit(Z_CONST) * F.abs(F.col(value_col) - F.col("gmedian")) / F.col("gmad")
+    flagged = F.when(z > threshold, True).otherwise(False)
+    return (
+        with_med.join(F.broadcast(mad), key_col)
+        .withColumn("is_outlier", F.coalesce(flagged, F.lit(False)))
+        .withColumn(
+            "corrected",
+            F.when(F.col("is_outlier"), F.col("gmedian")).otherwise(F.col(value_col)),
+        )
+        .drop("gmedian", "gmad")
+    )
+
+
+def lineage_for(points: DataFrame, config: dict[str, Any] | None = None) -> DataFrame:
+    """Per-series lineage rows: what each correction step detected/changed.
+
+    Mirrors the reference's correction-log record
+    (scripts/apply_refined_corrections.py:185-194) at series granularity.
+    Runs the detectors (not the corrections) inside the same Arrow kernel.
+    """
+    from ..schema import LINEAGE
+
+    cfg = {**oracle.DEFAULT_CONFIG, **(config or {})}
+
+    def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf["series_key"].iloc[0]
+        frame = pdf[["t", "value"]].sort_values("t").reset_index(drop=True)
+        n_in = len(frame)
+        rows = []
+        gaps = oracle.detect_gaps(frame["t"].to_numpy(), cfg["gap_threshold_factor"])
+        cur = frame
+        if gaps:
+            cur = oracle.correct_gaps(cur, gaps, "t", ["value"], cfg["gap_method"])
+            cur = cur.sort_values("t").reset_index(drop=True)
+        rows.append(("gaps", len(gaps), n_in, len(cur), f"inserted={len(cur) - n_in}"))
+        outl = oracle.detect_outliers(cur["value"].to_numpy(), cfg["window_size"], cfg["threshold"])
+        if outl:
+            cur = oracle.correct_outliers(cur, outl, "value", cfg["window_size"], cfg["outlier_method"])
+        rows.append(("outliers", len(outl), len(cur), len(cur), ""))
+        jumps = oracle.detect_jumps(cur["value"].to_numpy(), cfg["window_size"], cfg["threshold"])
+        rows.append(("jumps", len(jumps), len(cur), len(cur), ""))
+        return pd.DataFrame(
+            [(key, s, int(d), int(i), int(o), det) for s, d, i, o, det in rows],
+            columns=["series_key", "step", "n_detected", "n_rows_in", "n_rows_out", "detail"],
+        )
+
+    return points.groupBy("series_key").applyInPandas(_kernel, schema=LINEAGE)

@@ -1,0 +1,71 @@
+"""Continuous aggregates: 1m / 1h / 1d rollup tiers + tier cascade.
+
+The new retention layer the reference never had (SURVEY.md §7). Pure
+built-in aggregation — one shuffle per tier when computed from raw, or
+near-free when CASCADED (1m → 1h → 1d), since each cascade step reduces
+input ~60× and reuses the (series_key) clustering.
+
+Aggregate set per bucket: cnt / sum / min / max / first / last, with
+first/last defined by time order via ``min_by``/``max_by`` (JVM-side,
+no window sort needed — crucial at 10^12 rows where a per-series global
+sort just to pick endpoints would dominate the job).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schema import TIER_SECONDS
+
+
+def rollup(
+    points: DataFrame,
+    tier: str = "1m",
+    key_col: str = "series_key",
+    time_col: str = "t",
+    value_col: str = "value",
+) -> DataFrame:
+    """Aggregate raw points into one retention tier."""
+    sec = TIER_SECONDS[tier]
+    bucket = (F.floor(F.col(time_col) / sec) * sec).cast("long").alias("bucket_start")
+    return points.groupBy(F.col(key_col).alias("series_key"), bucket).agg(
+        F.count(value_col).alias("cnt"),
+        F.sum(value_col).alias("vsum"),
+        F.min(value_col).alias("vmin"),
+        F.max(value_col).alias("vmax"),
+        F.min_by(value_col, time_col).alias("vfirst"),
+        F.max_by(value_col, time_col).alias("vlast"),
+    )
+
+
+def cascade(lower: DataFrame, to_tier: str) -> DataFrame:
+    """Roll a finer tier up into a coarser one without touching raw data.
+
+    Exactness: cnt/sum/min/max compose associatively; first/last compose via
+    min_by/max_by on the finer bucket_start. Equals ``rollup(raw, to_tier)``
+    bit-for-bit except vsum, where float addition order may differ at the
+    last ulp (tests assert tight tolerance there, exactness elsewhere).
+    """
+    sec = TIER_SECONDS[to_tier]
+    coarse = lower.withColumn("coarse_bucket", (F.floor(F.col("bucket_start") / sec) * sec).cast("long"))
+    return (
+        coarse.groupBy("series_key", "coarse_bucket")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("vsum").alias("vsum"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+            F.min_by("vfirst", F.col("bucket_start")).alias("vfirst"),
+            F.max_by("vlast", F.col("bucket_start")).alias("vlast"),
+        )
+        .withColumnRenamed("coarse_bucket", "bucket_start")
+    )
+
+
+def rollup_all_tiers(points: DataFrame, **kw) -> dict[str, DataFrame]:
+    """1m from raw, then 1h and 1d by cascading — the cheap path."""
+    r1m = rollup(points, "1m", **kw)
+    r1h = cascade(r1m, "1h")
+    r1d = cascade(r1h, "1d")
+    return {"1m": r1m, "1h": r1h, "1d": r1d}

@@ -1,0 +1,164 @@
+"""Spark-vs-oracle parity for the correction kernel, rollups, compression.
+
+The central guarantee (BASELINE.json north_rule): distributed output must
+EXACTLY match the single-node reference implementation, per series, and be
+invariant to parallelism/partitioning.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from series_correction_project_updated_spark.oracle import correction as oracle
+from series_correction_project_updated_spark.operators.correct import (
+    correct_series,
+    detect_gaps_native,
+    global_mad_correct_native,
+)
+from series_correction_project_updated_spark.operators.rollup import (
+    cascade,
+    rollup,
+    rollup_all_tiers,
+)
+from series_correction_project_updated_spark.operators.compress import (
+    bytes_per_point,
+    compress_rollup,
+    decompress_to_points,
+)
+from series_correction_project_updated_spark.sources.synth import (
+    generate_pages,
+    pages_to_series,
+)
+
+
+@pytest.fixture(scope="module")
+def series_pdf(spark):
+    pages = generate_pages(spark, n_urls=20, samples_per_url=120, seed=42)
+    return pages_to_series(pages).toPandas()
+
+
+def _oracle_all(series_pdf, cfg=None):
+    outs = []
+    for key, grp in series_pdf.groupby("series_key"):
+        out = oracle.process_series(grp[["t", "value"]], "t", "value", cfg)
+        out.insert(0, "series_key", key)
+        outs.append(out)
+    return (
+        pd.concat(outs)
+        .sort_values(["series_key", "t"])
+        .reset_index(drop=True)
+    )
+
+
+def test_kernel_matches_oracle_exactly(spark, series_pdf):
+    sdf = spark.createDataFrame(series_pdf)
+    got = (
+        correct_series(sdf)
+        .orderBy("series_key", "t")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    want = _oracle_all(series_pdf)
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_kernel_invariant_to_partitioning(spark, series_pdf):
+    sdf = spark.createDataFrame(series_pdf)
+    a = correct_series(sdf, num_partitions=2).orderBy("series_key", "t").toPandas()
+    b = correct_series(sdf, num_partitions=16).orderBy("series_key", "t").toPandas()
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True), check_exact=True)
+
+
+def test_native_gap_detect_matches_oracle(spark, series_pdf):
+    sdf = spark.createDataFrame(series_pdf)
+    got = detect_gaps_native(sdf).select("series_key", "t").toPandas()
+    got_set = set(map(tuple, got.itertuples(index=False)))
+    want_set = set()
+    for key, grp in series_pdf.groupby("series_key"):
+        g = grp.sort_values("t").reset_index(drop=True)
+        for pos in oracle.detect_gaps(g["t"].to_numpy()):
+            want_set.add((key, g["t"].iloc[pos]))
+    assert got_set == want_set
+    assert len(want_set) > 0  # synth injects gaps; detector must fire
+
+
+def test_global_mad_native_matches_oracle(spark, series_pdf):
+    from series_correction_project_updated_spark.oracle import global_mad_correct
+
+    sdf = spark.createDataFrame(series_pdf)
+    got = (
+        global_mad_correct_native(sdf)
+        .orderBy("series_key", "t")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    for key, grp in got.groupby("series_key"):
+        raw = grp["value"].to_numpy()
+        corrected, outliers = global_mad_correct(raw, threshold=3.0)
+        np.testing.assert_array_equal(grp["is_outlier"].to_numpy(), outliers)
+        np.testing.assert_allclose(grp["corrected"].to_numpy(), corrected, rtol=0, atol=0)
+    assert got["is_outlier"].sum() > 0
+
+
+def test_rollup_matches_pandas(spark, series_pdf):
+    sdf = spark.createDataFrame(series_pdf)
+    got = rollup(sdf, "1h").orderBy("series_key", "bucket_start").toPandas()
+    pdf = series_pdf.copy()
+    pdf["bucket_start"] = (pdf["t"] // 3600 * 3600).astype("int64")
+    g = pdf.sort_values("t").groupby(["series_key", "bucket_start"])["value"]
+    want = g.agg(cnt="count", vsum="sum", vmin="min", vmax="max", vfirst="first", vlast="last").reset_index()
+    want = want.sort_values(["series_key", "bucket_start"]).reset_index(drop=True)
+    got = got[want.columns].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=False, rtol=1e-12)
+
+
+def test_cascade_equals_direct(spark, series_pdf):
+    sdf = spark.createDataFrame(series_pdf)
+    tiers = rollup_all_tiers(sdf)
+    direct_1d = rollup(sdf, "1d").orderBy("series_key", "bucket_start").toPandas()
+    casc_1d = tiers["1d"].orderBy("series_key", "bucket_start").toPandas()
+    cols = ["series_key", "bucket_start", "cnt", "vmin", "vmax", "vfirst", "vlast"]
+    pd.testing.assert_frame_equal(casc_1d[cols], direct_1d[cols], check_exact=True)
+    np.testing.assert_allclose(casc_1d["vsum"], direct_1d["vsum"], rtol=1e-9)
+
+
+def test_compress_roundtrip_spark(spark, series_pdf):
+    sdf = spark.createDataFrame(series_pdf)
+    r1m = rollup(sdf, "1m")
+    comp = compress_rollup(r1m, "1m", value_col="vsum")
+    back = (
+        decompress_to_points(comp)
+        .orderBy("series_key", "bucket_start")
+        .toPandas()
+    )
+    want = r1m.select("series_key", "bucket_start", F.col("vsum").alias("value")).orderBy(
+        "series_key", "bucket_start"
+    ).toPandas()
+    np.testing.assert_array_equal(back["bucket_start"].to_numpy(), want["bucket_start"].to_numpy())
+    np.testing.assert_array_equal(
+        back["value"].to_numpy().view(np.uint64), want["value"].to_numpy().view(np.uint64)
+    )
+    bpp = bytes_per_point(comp).toPandas()
+    assert float(bpp["bytes_per_point"].iloc[0]) < 16.0
+
+
+def test_text_byte_identity(spark):
+    """north_rule invariant: extracted text stays byte-identical per url."""
+    pages = generate_pages(spark, n_urls=10, samples_per_url=50)
+    per_url = pages.groupBy("url").agg(F.count_distinct("text").alias("n")).toPandas()
+    assert (per_url["n"] == 1).all()
+
+
+def test_series_plan_prunes_html(spark):
+    """Column pruning: the series pipeline must never read html:binary."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        generate_pages(spark, n_urls=5, samples_per_url=20).write.mode("overwrite").parquet(d + "/pages")
+        pages = spark.read.parquet(d + "/pages")
+        plan = pages_to_series(pages)._jdf.queryExecution().executedPlan().toString()
+        # the physical scan's ReadSchema must not include the binary column
+        read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln or "struct<" in ln]
+        assert read_schema, plan
+        assert all("html" not in ln for ln in read_schema), plan
