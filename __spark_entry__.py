@@ -1,38 +1,46 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: full pages→series→correct→rollup pipeline on the
+sf0.001 events table. ``queries()``/``oracle_sql()`` — the operator registry
+from ``series_correction_project_updated_spark.queries`` (one entry per implemented
+operator from SURVEY.md §2 plus the training-data ops; rows-only entries omit
+the SQL).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from series_correction_project_updated_spark.queries import REGISTRY  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: correct the sf0.001 event series with the Arrow kernel,
+    roll up to the 1h tier, return the tier table."""
+    from series_correction_project_updated_spark.operators.correct import correct_series
+    from series_correction_project_updated_spark.operators.rollup import rollup_all_tiers
+    from pyspark.sql import functions as F
+
+    sf_dir = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = events.select(
+        F.col("user_id").cast("string").alias("series_key"),
+        (F.unix_millis(F.col("ts").cast("timestamp")) / 1000.0).alias("t"),
+        "value",
+    )
+    corrected = correct_series(pts)
+    return rollup_all_tiers(corrected)["1h"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}

@@ -1,0 +1,101 @@
+"""The flagship end-to-end job: pages → series → correct → rollup tiers →
+compress, with lineage + metrics side tables and per-partition resume.
+
+Distributed replacement for the reference's ``batch_process`` driver loop
+(scripts/batch_correction.py:461-516): config on the driver, data never on
+the driver. One shuffle for the correction (hash by series), cascade rollups
+reuse the clustering, sinks are partition-overwrite idempotent.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.compress import bytes_per_point, compress_rollup
+from ..operators.correct import correct_series, lineage_for
+from ..operators.rollup import rollup_all_tiers
+from ..sources.synth import pages_to_series
+
+
+@dataclass
+class PipelineConfig:
+    """Mirrors the reference's merged config (processor.py:468-481) plus
+    engine knobs."""
+
+    correction: dict[str, Any] = field(default_factory=dict)
+    tiers: tuple[str, ...] = ("1m", "1h", "1d")
+    compress_tier: str = "1m"
+    compress_value_col: str = "vsum"
+    n_buckets: int = 32
+    emit_lineage: bool = True
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    config: PipelineConfig | None = None,
+    job_id: str | None = None,
+) -> dict[str, Any]:
+    """Execute the full pipeline, writing per-tier parquet + lineage +
+    metrics under ``out_dir``. Returns a summary dict."""
+    cfg = config or PipelineConfig()
+    job_id = job_id or uuid.uuid4().hex[:12]
+    t_start = time.time()
+
+    points = pages_to_series(pages)
+    corrected = correct_series(points, cfg.correction, num_partitions=cfg.n_buckets)
+    corrected = corrected.persist()
+    n_corrected = corrected.count()
+
+    tier_counts: dict[str, int] = {}
+    tiers = rollup_all_tiers(corrected)
+    for name in cfg.tiers:
+        path = os.path.join(out_dir, f"rollup_{name}")
+        tiers[name].write.mode("overwrite").parquet(path)
+        tier_counts[name] = spark.read.parquet(path).count()
+
+    comp = compress_rollup(tiers[cfg.compress_tier], cfg.compress_tier, cfg.compress_value_col)
+    comp_path = os.path.join(out_dir, f"compressed_{cfg.compress_tier}")
+    comp.write.mode("overwrite").parquet(comp_path)
+    bpp = bytes_per_point(spark.read.parquet(comp_path)).collect()
+    bytes_point = float(bpp[0]["bytes_per_point"]) if bpp else None
+
+    if cfg.emit_lineage:
+        lineage_for(points, cfg.correction).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "lineage")
+        )
+
+    wall = time.time() - t_start
+    metrics_rows = [
+        (job_id, "all", "Processed", int(n_corrected), float(wall)),
+    ]
+    spark.createDataFrame(
+        metrics_rows, "job_id string, partition_key string, status string, records long, wall_sec double"
+    ).write.mode("append").parquet(os.path.join(out_dir, "metrics"))
+
+    corrected.unpersist()
+    total_rolled = sum(tier_counts.values())
+    return {
+        "job_id": job_id,
+        "corrected_points": n_corrected,
+        "tier_counts": tier_counts,
+        "rolled_points_total": total_rolled,
+        "rolled_points_per_sec": total_rolled / wall if wall > 0 else None,
+        "compressed_bytes_per_point": bytes_point,
+        "wall_sec": wall,
+    }
+
+
+def verify_text_identity(pages_in: DataFrame, pages_out: DataFrame) -> bool:
+    """north_rule invariant check: byte-identical extracted text per url."""
+    a = pages_in.select("url", F.md5("text").alias("h")).distinct()
+    b = pages_out.select("url", F.md5("text").alias("h")).distinct()
+    return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()

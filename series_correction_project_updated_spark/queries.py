@@ -1,0 +1,732 @@
+"""Query registry: named (Spark implementation, DuckDB oracle SQL) pairs.
+
+Driven by ``__spark_entry__.py``. Every query runs on the driver-provided
+parquet tables (TESTDATA.md). Conventions that keep the DuckDB value-hash
+comparison meaningful:
+
+* every computed column is aliased IDENTICALLY in Spark and SQL,
+* float aggregates that could differ in the last ulp across engines
+  (association order) are rounded — money 2dp, sums 4dp, averages/ratios 6dp,
+* first/last semantics use min_by/max_by ↔ arg_min/arg_max on unique times,
+* medians interpolate in both engines (Spark ``median`` ≡ DuckDB
+  ``quantile_cont(0.5)``).
+
+Operator coverage mapping to SURVEY.md §2 noted per query.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _event_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → (user_id, t seconds double, value) — the series stand-in."""
+    return load(spark, sf_dir, "events").select(
+        "user_id", (F.unix_millis(F.col("ts").cast("timestamp")) / 1000.0).alias("t"), "value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-ish relational coverage (scans, filters, joins J1-J5, aggs A1-A6)
+# ---------------------------------------------------------------------------
+
+
+def q01_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: wide agg after date filter (A2/A5/F4)."""
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "1998-09-02")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_Q01 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                AS sum_qty,
+       round(sum(l_extendedprice), 2)                           AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)        AS sum_disc_price,
+       round(avg(l_quantity), 6)                                AS avg_qty,
+       round(avg(l_discount), 6)                                AS avg_disc,
+       count(*)                                                 AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q03_top_orders(spark, sf_dir):
+    """3-way join + top-k with deterministic tiebreak (J1/J3, O4)."""
+    cust = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    return rev.orderBy(F.desc("revenue"), "o_orderkey").limit(10)
+
+
+SQL_Q03 = """
+SELECT o_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+
+def q05_nation_revenue(spark, sf_dir):
+    """Star join through region→nation→customer→orders→lineitem (J3/J5)."""
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+SQL_Q05 = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name ORDER BY r_name, n_name
+"""
+
+
+def q_melt_measures(spark, sf_dir):
+    """Wide→long unpivot, the reference's melt (U2 — apply_refined_corrections.py:54-59)."""
+    li = load(spark, sf_dir, "lineitem")
+    long = li.select(
+        F.expr(
+            "stack(3, 'quantity', l_quantity, 'price', l_extendedprice, 'discount', l_discount)"
+        ).alias("measure", "val")
+    )
+    return (
+        long.groupBy("measure")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("val"), 2).alias("total"))
+        .orderBy("measure")
+    )
+
+
+SQL_MELT = """
+WITH long AS (
+  SELECT 'quantity' AS measure, l_quantity AS val FROM lineitem
+  UNION ALL SELECT 'price', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'discount', l_discount FROM lineitem
+)
+SELECT measure, count(*) AS cnt, round(sum(val), 2) AS total
+FROM long GROUP BY measure ORDER BY measure
+"""
+
+
+def q_outer_join_users(spark, sf_dir):
+    """Full-outer equi-join of two per-key aggregates (J1 — export_comparison_sheets.py:191-200)."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").groupBy("user_id").agg(
+        F.count("*").alias("purchase_cnt"), F.round(F.sum("value"), 4).alias("purchase_sum")
+    )
+    e = ev.where(F.col("event_type") == "error").groupBy("user_id").agg(F.count("*").alias("error_cnt"))
+    return (
+        p.join(e, "user_id", "outer")
+        .select(
+            "user_id",
+            F.coalesce("purchase_cnt", F.lit(0)).alias("purchase_cnt"),
+            F.coalesce("purchase_sum", F.lit(0.0)).alias("purchase_sum"),
+            F.coalesce("error_cnt", F.lit(0)).alias("error_cnt"),
+        )
+    )
+
+
+SQL_OUTER_JOIN = """
+WITH p AS (SELECT user_id, count(*) AS purchase_cnt, round(sum(value), 4) AS purchase_sum
+           FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+e AS (SELECT user_id, count(*) AS error_cnt FROM events WHERE event_type = 'error' GROUP BY user_id)
+SELECT coalesce(p.user_id, e.user_id) AS user_id,
+       coalesce(purchase_cnt, 0) AS purchase_cnt,
+       coalesce(purchase_sum, 0.0) AS purchase_sum,
+       coalesce(error_cnt, 0) AS error_cnt
+FROM p FULL OUTER JOIN e ON p.user_id = e.user_id
+"""
+
+
+def q_nonzero_avg(spark, sf_dir):
+    """Non-zero average per group (A6/P3 — apply_refined_corrections.py:21-28)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(
+                F.coalesce(F.avg(F.when(F.col("value") != 0, F.col("value"))), F.lit(0.0)), 6
+            ).alias("nz_avg"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_NONZERO_AVG = """
+SELECT event_type,
+       round(coalesce(avg(CASE WHEN value <> 0 THEN value END), 0.0), 6) AS nz_avg,
+       count(*) AS cnt
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_top5_per_type(spark, sf_dir):
+    """Head-k slice per group (O4/A3 — .iloc[:5] analog via row_number)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("event_type", "rank", "event_id", "value")
+    )
+
+
+SQL_TOP5 = """
+SELECT event_type, rank, event_id, value FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rank
+  FROM events
+) WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Time-series coverage (W1-W10, A1, A3, Y1 on the events table)
+# ---------------------------------------------------------------------------
+
+
+def q_gap_detect(spark, sf_dir):
+    """Gap detection: interval > 3× median interval per series (W9/A1 —
+    processor.py:46-115, pure native Spark)."""
+    pts = _event_points(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("t")
+    d = pts.withColumn("delta", F.col("t") - F.lag("t").over(w))
+    med = d.where(F.col("delta").isNotNull()).groupBy("user_id").agg(F.median("delta").alias("m"))
+    return (
+        d.join(F.broadcast(med), "user_id")
+        .where((F.col("m") > 0) & (F.col("delta") > 3.0 * F.col("m")))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_gaps"), F.round(F.max("delta"), 3).alias("max_gap"))
+        .orderBy("user_id")
+    )
+
+
+SQL_GAP_DETECT = """
+WITH pts AS (SELECT user_id, epoch_ms(ts)/1000.0 AS t FROM events),
+d AS (SELECT user_id, t, t - lag(t) OVER (PARTITION BY user_id ORDER BY t) AS delta FROM pts),
+med AS (SELECT user_id, median(delta) AS m FROM d WHERE delta IS NOT NULL GROUP BY user_id)
+SELECT d.user_id AS user_id, count(*) AS n_gaps, round(max(d.delta), 3) AS max_gap
+FROM d JOIN med ON d.user_id = med.user_id
+WHERE med.m > 0 AND d.delta > 3.0 * med.m
+GROUP BY d.user_id ORDER BY user_id
+"""
+
+
+def _rollup_spark(spark, sf_dir, sec: int):
+    pts = _event_points(spark, sf_dir)
+    return (
+        pts.groupBy(
+            "user_id", (F.floor(F.col("t") / sec) * sec).cast("long").alias("bucket_start")
+        )
+        .agg(
+            F.count("value").alias("cnt"),
+            F.round(F.sum("value"), 4).alias("vsum"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            F.min_by("value", "t").alias("vfirst"),
+            F.max_by("value", "t").alias("vlast"),
+        )
+    )
+
+
+def _rollup_sql(sec: int) -> str:
+    return f"""
+WITH pts AS (SELECT user_id, epoch_ms(ts)/1000.0 AS t, value FROM events)
+SELECT user_id, CAST(floor(t/{sec})*{sec} AS BIGINT) AS bucket_start,
+       count(value) AS cnt, round(sum(value), 4) AS vsum,
+       min(value) AS vmin, max(value) AS vmax,
+       arg_min(value, t) AS vfirst, arg_max(value, t) AS vlast
+FROM pts GROUP BY user_id, bucket_start
+"""
+
+
+def q_rollup_1m(spark, sf_dir):
+    """1-minute continuous aggregate tier (new rollup layer, SURVEY.md §7)."""
+    return _rollup_spark(spark, sf_dir, 60)
+
+
+def q_rollup_1h(spark, sf_dir):
+    return _rollup_spark(spark, sf_dir, 3600)
+
+
+def q_rollup_1d(spark, sf_dir):
+    return _rollup_spark(spark, sf_dir, 86400)
+
+
+def q_rollup_cascade_1h(spark, sf_dir):
+    """1h tier CASCADED from the 1m tier; oracle computes 1h directly from
+    raw — proves tier-cascade exactness (rollup.cascade)."""
+    pts = _event_points(spark, sf_dir).withColumnRenamed("user_id", "series_key")
+    from .operators.rollup import cascade, rollup
+
+    r1m = rollup(pts, "1m")
+    r1h = cascade(r1m, "1h")
+    return r1h.select(
+        F.col("series_key").alias("user_id"),
+        "bucket_start",
+        "cnt",
+        F.round("vsum", 4).alias("vsum"),
+        "vmin",
+        "vmax",
+        "vfirst",
+        "vlast",
+    )
+
+
+def q_head_tail_avg(spark, sf_dir):
+    """First/last-5 non-zero averages per series (A3 —
+    apply_refined_corrections.py:175-180)."""
+    pts = _event_points(spark, sf_dir)
+    w_asc = Window.partitionBy("user_id").orderBy(F.asc("t"))
+    w_desc = Window.partitionBy("user_id").orderBy(F.desc("t"))
+    nz = F.when(F.col("value") != 0, F.col("value"))
+    return (
+        pts.select(
+            "user_id",
+            "value",
+            F.row_number().over(w_asc).alias("rh"),
+            F.row_number().over(w_desc).alias("rt"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.round(F.coalesce(F.avg(F.when(F.col("rh") <= 5, nz)), F.lit(0.0)), 6).alias("head_avg"),
+            F.round(F.coalesce(F.avg(F.when(F.col("rt") <= 5, nz)), F.lit(0.0)), 6).alias("tail_avg"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_HEAD_TAIL = """
+WITH pts AS (SELECT user_id, epoch_ms(ts)/1000.0 AS t, value FROM events),
+r AS (SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY t ASC) AS rh,
+             row_number() OVER (PARTITION BY user_id ORDER BY t DESC) AS rt
+      FROM pts)
+SELECT user_id,
+       round(coalesce(avg(CASE WHEN rh <= 5 AND value <> 0 THEN value END), 0.0), 6) AS head_avg,
+       round(coalesce(avg(CASE WHEN rt <= 5 AND value <> 0 THEN value END), 0.0), 6) AS tail_avg
+FROM r GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_level_shift_days(spark, sf_dir):
+    """Chained boundary level shifts, day-chunked (Y1 —
+    apply_refined_corrections.py:167-194; closed-form running sum)."""
+    from .operators.level_shift import boundary_shifts
+
+    pts = _event_points(spark, sf_dir).withColumn(
+        "chunk", F.floor(F.col("t") / 86400).cast("long")
+    )
+    shifts = boundary_shifts(
+        pts, key_col="user_id", chunk_col="chunk", time_col="t", value_col="value"
+    )
+    return shifts.select(
+        "user_id",
+        F.col("chunk").alias("day"),
+        F.round("head_avg", 6).alias("head_avg"),
+        F.round("tail_avg", 6).alias("tail_avg"),
+        F.round("shift", 6).alias("shift"),
+    ).orderBy("user_id", "day")
+
+
+SQL_LEVEL_SHIFT = """
+WITH pts AS (SELECT user_id, epoch_ms(ts)/1000.0 AS t, value,
+                    CAST(floor(epoch_ms(ts)/1000.0/86400) AS BIGINT) AS day FROM events),
+r AS (SELECT user_id, day, value,
+             row_number() OVER (PARTITION BY user_id, day ORDER BY t ASC) AS rh,
+             row_number() OVER (PARTITION BY user_id, day ORDER BY t DESC) AS rt
+      FROM pts),
+agg AS (SELECT user_id, day,
+               coalesce(avg(CASE WHEN rh <= 5 AND value <> 0 THEN value END), 0.0) AS head_avg,
+               coalesce(avg(CASE WHEN rt <= 5 AND value <> 0 THEN value END), 0.0) AS tail_avg
+        FROM r GROUP BY user_id, day),
+d AS (SELECT user_id, day, head_avg, tail_avg,
+             lag(tail_avg) OVER (PARTITION BY user_id ORDER BY day) AS prev_tail
+      FROM agg)
+SELECT user_id, day, round(head_avg, 6) AS head_avg, round(tail_avg, 6) AS tail_avg,
+       round(sum(CASE WHEN prev_tail IS NULL THEN 0.0 ELSE prev_tail - head_avg END)
+             OVER (PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS shift
+FROM d ORDER BY user_id, day
+"""
+
+
+def q_global_mad(spark, sf_dir):
+    """Global-MAD outlier variant, fully native (updated_processor.py:27-54)."""
+    from .operators.correct import global_mad_correct_native
+
+    pts = _event_points(spark, sf_dir).withColumnRenamed("user_id", "series_key")
+    out = global_mad_correct_native(pts, threshold=3.0)
+    return (
+        out.groupBy(F.col("series_key").alias("user_id"))
+        .agg(
+            F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+            F.round(F.sum("corrected"), 4).alias("corrected_sum"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_GLOBAL_MAD = """
+WITH med AS (SELECT user_id, median(value) AS gmedian FROM events GROUP BY user_id),
+mad AS (SELECT e.user_id, greatest(median(abs(e.value - m.gmedian)), 0.0001) AS gmad
+        FROM events e JOIN med m ON e.user_id = m.user_id GROUP BY e.user_id),
+z AS (SELECT e.user_id, e.value, m.gmedian,
+             0.6745 * abs(e.value - m.gmedian) / d.gmad AS zscore
+      FROM events e JOIN med m ON e.user_id = m.user_id JOIN mad d ON e.user_id = d.user_id)
+SELECT user_id,
+       sum(CASE WHEN zscore > 3.0 THEN 1 ELSE 0 END) AS n_outliers,
+       round(sum(CASE WHEN zscore > 3.0 THEN gmedian ELSE value END), 4) AS corrected_sum
+FROM z GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_yty_diff(spark, sf_dir):
+    """Chunk-to-chunk difference table (the reference's year-to-year diff
+    input, melted shape — apply_refined_corrections.py:39-77), day-grained."""
+    pts = _event_points(spark, sf_dir).withColumn("day", F.floor(F.col("t") / 86400).cast("long"))
+    per_day = pts.groupBy("user_id", "day").agg(F.avg("value").alias("avg_v"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    return per_day.select(
+        "user_id",
+        "day",
+        F.round("avg_v", 6).alias("avg_v"),
+        F.round(F.col("avg_v") - F.lag("avg_v").over(w), 6).alias("diff"),
+        F.coalesce(F.abs(F.col("avg_v") - F.lag("avg_v").over(w)) >= 0.1, F.lit(False)).alias(
+            "is_outlier"
+        ),
+    ).orderBy("user_id", "day")
+
+
+SQL_YTY_DIFF = """
+WITH pts AS (SELECT user_id, CAST(floor(epoch_ms(ts)/1000.0/86400) AS BIGINT) AS day, value FROM events),
+per_day AS (SELECT user_id, day, avg(value) AS avg_v FROM pts GROUP BY user_id, day),
+d AS (SELECT user_id, day, avg_v, lag(avg_v) OVER (PARTITION BY user_id ORDER BY day) AS prev_v FROM per_day)
+SELECT user_id, day, round(avg_v, 6) AS avg_v,
+       round(avg_v - prev_v, 6) AS diff,
+       coalesce(abs(avg_v - prev_v) >= 0.1, FALSE) AS is_outlier
+FROM d ORDER BY user_id, day
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline ops: dedup / text analysis / similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash (hash-groupBy; md5 identical across engines)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(F.min("doc_id").alias("rep_doc_id"), F.count("*").alias("cnt"))
+        .where(F.col("cnt") > 1)
+        .orderBy("rep_doc_id")
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, min(doc_id) AS rep_doc_id, count(*) AS cnt
+FROM documents GROUP BY md5(text) HAVING count(*) > 1 ORDER BY rep_doc_id
+"""
+
+
+def q_dedup_keyed(spark, sf_dir):
+    """Key-collision dedup candidates: same (lang, source, n_chars)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source", "n_chars")
+        .agg(F.min("doc_id").alias("rep_doc_id"), F.count("*").alias("cnt"))
+        .where(F.col("cnt") > 1)
+        .orderBy("rep_doc_id")
+    )
+
+
+SQL_DEDUP_KEYED = """
+SELECT lang, source, n_chars, min(doc_id) AS rep_doc_id, count(*) AS cnt
+FROM documents GROUP BY lang, source, n_chars HAVING count(*) > 1 ORDER BY rep_doc_id
+"""
+
+
+def q_token_count(spark, sf_dir):
+    """Whitespace token counting per language (text-analysis op)."""
+    docs = load(spark, sf_dir, "documents")
+    tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(tokens).alias("total_tokens"),
+            F.round(F.avg(tokens), 6).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_TOKEN_COUNT = r"""
+SELECT lang, count(*) AS n_docs,
+       sum(len(string_split_regex(trim(text), '\s+'))) AS total_tokens,
+       round(avg(len(string_split_regex(trim(text), '\s+'))), 6) AS avg_tokens
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality scoring: char/token stats per source (text-analysis op)."""
+    docs = load(spark, sf_dir, "documents")
+    tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double")
+    chars = F.length("text").cast("double")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg(chars), 6).alias("avg_chars"),
+            F.round(F.avg(chars / tokens), 6).alias("avg_token_len"),
+            F.round(F.avg((F.col("n_chars") > 250).cast("double")), 6).alias("long_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_TEXT_QUALITY = r"""
+SELECT source, count(*) AS n_docs,
+       round(avg(CAST(len(text) AS DOUBLE)), 6) AS avg_chars,
+       round(avg(CAST(len(text) AS DOUBLE) / len(string_split_regex(trim(text), '\s+'))), 6) AS avg_token_len,
+       round(avg(CASE WHEN n_chars > 250 THEN 1.0 ELSE 0.0 END), 6) AS long_ratio
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def q_word_overlap_pairs(spark, sf_dir):
+    """N-gram (1-gram) Jaccard near-dup candidates via shingle explode +
+    self-join — the scale path for MinHash banding (dedup op)."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))).alias("w")
+    )
+    sizes = words.groupBy("doc_id").agg(F.count("*").alias("nw"))
+    a = words.alias("a")
+    b = words.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= 30)
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        pairs.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            F.round(
+                F.col("shared") / (F.col("sa.nw") + F.col("sb.nw") - F.col("shared")), 4
+            ).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SQL_WORD_OVERLAP = r"""
+WITH words AS (SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS w
+               FROM documents),
+sizes AS (SELECT doc_id, count(*) AS nw FROM words GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+          FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= 30)
+SELECT doc_a, doc_b, shared,
+       round(CAST(shared AS DOUBLE) / (sa.nw + sb.nw - shared), 4) AS jaccard
+FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+def q_knn_cosine(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline over array<float> embeddings.
+
+    Double-precision fold in index order on both engines so the cosine is
+    bit-comparable before rounding.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    dot_self = F.aggregate(
+        F.zip_with("emb", "emb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    n = emb.withColumn("nrm", F.sqrt(dot_self))
+    a = n.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = n.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("eb"), F.col("nrm").alias("nb")
+    )
+    dot_ab = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    pairs = (
+        F.broadcast(a)
+        .crossJoin(b)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", dot_ab / (F.col("na") * F.col("nb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )
+
+
+SQL_KNN = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+pairs AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS cos
+          FROM n a, n b WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id),
+ranked AS (SELECT query_id, neighbor_id, cos,
+                  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           FROM pairs)
+SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine
+FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# Non-SQL-expressible ops (rows-only driver check; parity covered by pytest)
+# ---------------------------------------------------------------------------
+
+
+def q_correct_series(spark, sf_dir):
+    """Full 3-step correction kernel on the events table (W1-W10 composite).
+
+    Not SQL-expressible (stateful CUSUM + positional step composition);
+    exactness vs the single-node oracle is asserted in tests/test_spark_kernel.py.
+    """
+    from .operators.correct import correct_series
+
+    pts = _event_points(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("series_key"), "t", "value"
+    )
+    return correct_series(pts)
+
+
+def q_minhash_pairs(spark, sf_dir):
+    """MinHash near-dup candidates (LSH banding). Hash-function-specific ⇒
+    rows-only check; determinism asserted in tests."""
+    from .operators.dedup import minhash_candidate_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return minhash_candidate_pairs(docs, text_col="text", id_col="doc_id")
+
+
+def q_simhash_buckets(spark, sf_dir):
+    """SimHash 64-bit signatures + bucket sizes (rows-only)."""
+    from .operators.dedup import simhash_signatures
+
+    docs = load(spark, sf_dir, "documents")
+    sig = simhash_signatures(docs, text_col="text", id_col="doc_id")
+    return (
+        sig.groupBy("band")
+        .agg(F.count("*").alias("n_docs"), F.count_distinct("simhash").alias("n_distinct"))
+        .orderBy("band")
+    )
+
+
+def q_langid(spark, sf_dir):
+    """Heuristic n-gram language ID vs the labeled lang column (rows-only)."""
+    from .operators.textops import langid_heuristic
+
+    docs = load(spark, sf_dir, "documents")
+    pred = langid_heuristic(docs, text_col="text")
+    return (
+        pred.groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+#: name -> (spark_fn, oracle_sql_or_None)
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
+    "q03_top_orders": (q03_top_orders, SQL_Q03),
+    "q05_nation_revenue": (q05_nation_revenue, SQL_Q05),
+    "q_melt_measures": (q_melt_measures, SQL_MELT),
+    "q_outer_join_users": (q_outer_join_users, SQL_OUTER_JOIN),
+    "q_nonzero_avg": (q_nonzero_avg, SQL_NONZERO_AVG),
+    "q_top5_per_type": (q_top5_per_type, SQL_TOP5),
+    "q_gap_detect": (q_gap_detect, SQL_GAP_DETECT),
+    "q_rollup_1m": (q_rollup_1m, _rollup_sql(60)),
+    "q_rollup_1h": (q_rollup_1h, _rollup_sql(3600)),
+    "q_rollup_1d": (q_rollup_1d, _rollup_sql(86400)),
+    "q_rollup_cascade_1h": (q_rollup_cascade_1h, _rollup_sql(3600)),
+    "q_head_tail_avg": (q_head_tail_avg, SQL_HEAD_TAIL),
+    "q_level_shift_days": (q_level_shift_days, SQL_LEVEL_SHIFT),
+    "q_global_mad": (q_global_mad, SQL_GLOBAL_MAD),
+    "q_yty_diff": (q_yty_diff, SQL_YTY_DIFF),
+    "q_dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "q_dedup_keyed": (q_dedup_keyed, SQL_DEDUP_KEYED),
+    "q_token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "q_text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "q_word_overlap_pairs": (q_word_overlap_pairs, SQL_WORD_OVERLAP),
+    "q_knn_cosine": (q_knn_cosine, SQL_KNN),
+    # rows-only (non-SQL-expressible; parity via pytest instead)
+    "q_correct_series": (q_correct_series, None),
+    "q_minhash_pairs": (q_minhash_pairs, None),
+    "q_simhash_buckets": (q_simhash_buckets, None),
+    "q_langid": (q_langid, None),
+}

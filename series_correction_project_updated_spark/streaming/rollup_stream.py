@@ -1,0 +1,62 @@
+"""Streaming continuous aggregates (the rollup layer as a live pipeline).
+
+The reference is pure batch (SURVEY.md §2.9) and our engine is batch-first,
+but the 1m tier maps naturally onto Structured Streaming: readStream →
+watermarked window agg → writeStream. Late pages within the watermark update
+their bucket; later ones are handled by the batch re-rollup path
+(plans/pipeline.py re-runs affected partitions idempotently).
+
+``first/last`` per bucket aren't available as streaming aggregates, so the
+streaming tier carries cnt/sum/min/max only; the batch cascade backfills the
+full aggregate set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TIER_DURATION = {"1m": "1 minute", "1h": "1 hour", "1d": "1 day"}
+
+
+def streaming_rollup(
+    pages_stream: DataFrame,
+    tier: str = "1m",
+    watermark: str = "10 minutes",
+    key_col: str = "url",
+    ts_col: str = "warc_ts",
+    value_col: str = "signal",
+) -> DataFrame:
+    """readStream-ready rollup: watermarked tumbling-window aggregate."""
+    return (
+        pages_stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(key_col).alias("series_key"),
+            F.window(ts_col, TIER_DURATION[tier]).alias("w"),
+        )
+        .agg(
+            F.count(value_col).alias("cnt"),
+            F.sum(value_col).alias("vsum"),
+            F.min(value_col).alias("vmin"),
+            F.max(value_col).alias("vmax"),
+        )
+        .select(
+            "series_key",
+            F.unix_timestamp("w.start").alias("bucket_start"),
+            "cnt",
+            "vsum",
+            "vmin",
+            "vmax",
+        )
+    )
+
+
+def run_stream_to_parquet(rollup_df: DataFrame, out_dir: str, checkpoint_dir: str):
+    """Start the stream writing tier rows to parquet (append on watermark close)."""
+    return (
+        rollup_df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

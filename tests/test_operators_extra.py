@@ -1,0 +1,251 @@
+"""Tests for dedup, similarity, textops, whitespace source, checkpoint
+pipeline, level-shift chaining, and the streaming rollup."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+# --- dedup -------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again", "en"),
+        (1, "the quick brown fox jumps over the lazy dog again and again", "en"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat again and again", "en"),  # near dup
+        (3, "completely different content about spark sql engines at scale", "en"),
+        (4, "short text", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_minhash_identical_docs_all_bands_match(spark, docs):
+    from series_correction_project_updated_spark.operators.dedup import minhash_candidate_pairs
+
+    pairs = minhash_candidate_pairs(docs, num_hashes=32, bands=8).toPandas()
+    exact = pairs[(pairs.doc_a == 0) & (pairs.doc_b == 1)]
+    assert len(exact) == 1 and exact.iloc[0]["n_bands"] == 8
+    # near-dup should share at least one band; unrelated docs none
+    assert not ((pairs.doc_a == 0) & (pairs.doc_b == 3)).any()
+
+
+def test_minhash_jaccard_estimate(spark, docs):
+    from series_correction_project_updated_spark.operators.dedup import minhash_jaccard_estimate
+
+    est = minhash_jaccard_estimate(docs, num_hashes=64).toPandas()
+    e01 = est[(est.doc_a == 0) & (est.doc_b == 1)]["jaccard_est"].iloc[0]
+    assert e01 == 1.0
+    e03 = est[(est.doc_a == 0) & (est.doc_b == 3)]["jaccard_est"].iloc[0]
+    assert e03 < 0.3
+
+
+def test_simhash_exact_dup_same_signature(spark, docs):
+    from series_correction_project_updated_spark.operators.dedup import (
+        simhash_near_pairs,
+        simhash_signatures,
+    )
+
+    sig = simhash_signatures(docs).toPandas().set_index("doc_id")["simhash"]
+    assert sig[0] == sig[1]
+    near = simhash_near_pairs(docs, max_hamming=10).toPandas()
+    assert ((near.doc_a == 0) & (near.doc_b == 1)).any()
+
+
+def test_simhash_deterministic_across_runs(spark, docs):
+    from series_correction_project_updated_spark.operators.dedup import simhash_signatures
+
+    a = simhash_signatures(docs).toPandas().sort_values("doc_id")["simhash"].tolist()
+    b = simhash_signatures(docs).toPandas().sort_values("doc_id")["simhash"].tolist()
+    assert a == b
+
+
+# --- similarity -------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(42)
+    base = rng.standard_normal((30, 16)).astype("float32")
+    base[1] = base[0] + rng.standard_normal(16).astype("float32") * 0.01  # near-dup of 0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(30)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_finds_near_dup(spark, vectors):
+    from series_correction_project_updated_spark.operators.similarity import cosine_topk
+
+    q = vectors.where(F.col("vec_id") == 0)
+    top = cosine_topk(vectors, q, k=3).toPandas()
+    assert top.iloc[0]["neighbor_id"] == 1
+    assert top.iloc[0]["cosine"] > 0.99
+
+
+def test_lsh_topk_recall_vs_exact(spark, vectors):
+    from series_correction_project_updated_spark.operators.similarity import cosine_topk, lsh_topk
+
+    q = vectors.where(F.col("vec_id") < 5)
+    exact = cosine_topk(vectors, q, k=1).toPandas().set_index("query_id")["neighbor_id"]
+    approx = lsh_topk(vectors, q, dim=16, k=1, n_planes=4).toPandas().set_index("query_id")["neighbor_id"]
+    # with 4 planes buckets are big; top-1 recall should be decent on 30 vecs
+    hits = sum(int(approx.get(qid, -1) == exact[qid]) for qid in exact.index)
+    assert hits >= 3
+
+
+def test_embedding_near_dup(spark, vectors):
+    from series_correction_project_updated_spark.operators.similarity import embedding_near_dup
+
+    pairs = embedding_near_dup(vectors, dim=16, threshold=0.95, n_planes=6).toPandas()
+    assert ((pairs.vec_a == 0) & (pairs.vec_b == 1)).any()
+
+
+# --- textops ------------------------------------------------------------------
+
+
+def test_langid_and_quality_and_fingerprint(spark):
+    from series_correction_project_updated_spark.operators.textops import (
+        fingerprint,
+        langid_heuristic,
+        quality_scores,
+    )
+
+    rows = [
+        (0, "the cat and the dog went to the park in a hurry for the ball"),
+        (1, "der Hund und die Katze sind nicht mit der Maus zu den Haus"),
+        (2, "el perro y el gato no es una cosa con los otros para que"),
+        (3, "xyzzy plugh"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pred = langid_heuristic(docs).toPandas().set_index("doc_id")["lang_pred"]
+    assert pred[0] == "en" and pred[1] == "de" and pred[2] == "es" and pred[3] == "und"
+
+    q = quality_scores(docs).toPandas()
+    assert (q["quality"] >= 0).all() and (q["quality"] <= 1).all()
+    assert q.set_index("doc_id").loc[0, "stopword_ratio"] > 0.2
+
+    # fingerprint invariant under whitespace normalization
+    a = spark.createDataFrame([(0, "hello   world"), (1, "hello world")], "doc_id long, text string")
+    fp = fingerprint(a).toPandas()["fingerprint"]
+    assert fp[0] == fp[1]
+
+
+# --- whitespace source ---------------------------------------------------------
+
+
+def test_whitespace_reader_matches_reference_loader_shape(spark, tmp_path):
+    from series_correction_project_updated_spark.sources.whitespace import read_sensor_files
+
+    f = tmp_path / "S26_Y01.txt"
+    f.write_text("# comment line\n1.0 2.5 3.5\n\n2.0 2.6 bad\n3.0 2.7 3.7\n")
+    df = read_sensor_files(spark, str(tmp_path / "*.txt")).toPandas()
+    assert list(df.columns) == ["series", "year_idx", "Time (Seconds)", "Value2", "Value3"]
+    assert df["series"].iloc[0] == "26" and df["year_idx"].iloc[0] == 1
+    assert len(df) == 3
+    d = df.sort_values("Time (Seconds)").reset_index(drop=True)
+    assert d["Value2"].tolist() == [2.5, 2.6, 2.7]
+    assert np.isnan(d["Value3"].iloc[1])  # 'bad' -> null (to_numeric coerce)
+
+
+# --- checkpoint / pipeline -----------------------------------------------------
+
+
+def test_checkpoint_resume_skips_completed(spark, tmp_path):
+    from series_correction_project_updated_spark.plans.checkpoint import (
+        completed_buckets,
+        run_with_checkpoints,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "series_key": [f"u{i}" for i in range(40) for _ in range(3)],
+            "t": [float(j) for _ in range(40) for j in range(3)],
+            "value": 1.0,
+        }
+    )
+    points = spark.createDataFrame(pdf)
+    out = str(tmp_path / "job")
+    calls = []
+
+    def transform(df):
+        calls.append(1)
+        return df
+
+    n1 = run_with_checkpoints(spark, points, transform, out, "job1", n_buckets=8, buckets_per_wave=4)
+    assert n1 == 8
+    assert sorted(completed_buckets(spark, out, "job1")) == list(range(8))
+    n2 = run_with_checkpoints(spark, points, transform, out, "job1", n_buckets=8, buckets_per_wave=4)
+    assert n2 == 0  # fully resumed, nothing re-run
+    got = spark.read.parquet(os.path.join(out, "data"))
+    assert got.count() == 120
+
+
+def test_run_pipeline_end_to_end(spark, tmp_path):
+    from series_correction_project_updated_spark.plans.pipeline import run_pipeline
+    from series_correction_project_updated_spark.sources.synth import generate_pages
+
+    pages = generate_pages(spark, n_urls=10, samples_per_url=60)
+    summary = run_pipeline(spark, pages, str(tmp_path / "out"))
+    assert summary["corrected_points"] > 0
+    assert set(summary["tier_counts"]) == {"1m", "1h", "1d"}
+    assert summary["compressed_bytes_per_point"] is not None
+    lineage = spark.read.parquet(str(tmp_path / "out" / "lineage"))
+    assert lineage.where(F.col("step") == "gaps").count() == 10
+    metrics = spark.read.parquet(str(tmp_path / "out" / "metrics"))
+    assert metrics.count() == 1
+
+
+# --- chunked correction + boundary alignment -----------------------------------
+
+
+def test_chunked_correction_alignment(spark):
+    from series_correction_project_updated_spark.operators.correct import correct_series_chunked
+
+    # two chunks with a level offset between them; alignment should remove it
+    t = [float(i * 3600) for i in range(48)]
+    v = [5.0 + (0.01 * (i % 5)) for i in range(24)] + [8.0 + (0.01 * (i % 5)) for i in range(24)]
+    pdf = pd.DataFrame({"series_key": "s", "t": t, "value": v})
+    out = correct_series_chunked(
+        spark.createDataFrame(pdf), chunk_sec=86400.0
+    ).orderBy("t").toPandas()
+    # after alignment the day-2 head should sit at day-1 tail level (~5.02)
+    assert abs(out["value"].iloc[24] - out["value"].iloc[23]) < 0.1
+
+
+# --- streaming rollup -----------------------------------------------------------
+
+
+def test_streaming_rollup_matches_batch(spark, tmp_path):
+    from series_correction_project_updated_spark.sources.synth import generate_pages
+    from series_correction_project_updated_spark.streaming.rollup_stream import (
+        run_stream_to_parquet,
+        streaming_rollup,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    pages = generate_pages(spark, n_urls=5, samples_per_url=30)
+    pages.write.parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = run_stream_to_parquet(streaming_rollup(stream, "1h"), out, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    # watermark holds back the last open window(s) in append mode; everything
+    # emitted must match the batch aggregate for the same buckets
+    got = spark.read.parquet(out)
+    batch = (
+        pages.groupBy(F.col("url").alias("series_key"), F.window("warc_ts", "1 hour").alias("w"))
+        .agg(F.count("signal").alias("cnt"))
+        .select("series_key", F.unix_timestamp("w.start").alias("bucket_start"), "cnt")
+    )
+    joined = got.select("series_key", "bucket_start", "cnt").join(
+        batch.withColumnRenamed("cnt", "cnt_b"), ["series_key", "bucket_start"]
+    )
+    mism = joined.where(F.col("cnt") != F.col("cnt_b")).count()
+    assert mism == 0
+    assert got.count() > 0
