@@ -12,10 +12,13 @@ New code (the reference repo has no compression layer); used by the rollup
 retention tiers to store points as `binary`. Encode/decode are exact
 (bit-roundtrip) for any float64 incl. NaN; timestamps are int64 seconds.
 
-This runs inside Arrow-grouped pandas UDFs (see ``compress_rollup``), i.e.
-executor-side Python over whole chunks — the right trade: the bit-packing is
-O(n) per chunk, amortized over Arrow batches, and the payload it produces is
-what actually ships to long-term storage.
+Encoding is NumPy-vectorized: per-element variable-length codes are computed
+columnar (bit_length/clz/ctz via shift cascades, delta-of-delta buckets via
+masks), then scattered into one bit plane with ≤64 vectorized passes and
+``np.packbits``. The only sequential part is the Gorilla window-reuse state
+scan (a cheap comparison loop). Decoding stays sequential by nature (every
+field depends on the previous) but reads whole fields, not single bits —
+it is the verification path, not the hot path.
 """
 
 from __future__ import annotations
@@ -24,30 +27,62 @@ import struct
 
 import numpy as np
 
+MAGIC = b"GOR1"
 
-class _BitWriter:
-    __slots__ = ("buf", "acc", "nbits")
+_U64 = np.uint64
+_ONE = np.uint64(1)
 
-    def __init__(self) -> None:
-        self.buf = bytearray()
-        self.acc = 0
-        self.nbits = 0
 
-    def write(self, value: int, bits: int) -> None:
-        self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
-        self.nbits += bits
-        while self.nbits >= 8:
-            self.nbits -= 8
-            self.buf.append((self.acc >> self.nbits) & 0xFF)
-        self.acc &= (1 << self.nbits) - 1
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length for uint64 (0 → 0)."""
+    bl = np.zeros(x.shape, dtype=np.int64)
+    t = x.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        m = t >= (_ONE << _U64(s))
+        bl[m] += s
+        t[m] >>= _U64(s)
+    bl += (t > 0).astype(np.int64)
+    return bl
 
-    def getvalue(self) -> bytes:
-        if self.nbits:
-            return bytes(self.buf) + bytes([(self.acc << (8 - self.nbits)) & 0xFF])
-        return bytes(self.buf)
+
+def _zigzag(v: np.ndarray) -> np.ndarray:
+    v = v.astype(np.int64)
+    return ((v << 1) ^ (v >> 63)).view(np.uint64)
+
+
+def _unzigzag(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def _pack_codes(codes_list, lens_list) -> bytes:
+    """Scatter variable-length MSB-first codes into one bit plane.
+
+    codes_list/lens_list: parallel lists of uint64 arrays (each code ≤64
+    bits); streams are concatenated element-interleaved in list order per
+    index? No — they are concatenated ARRAY BY ARRAY (each (codes, lens)
+    pair is one contiguous segment of the stream).
+    """
+    codes = np.concatenate([np.asarray(c, dtype=np.uint64) for c in codes_list])
+    lens = np.concatenate([np.asarray(l, dtype=np.int64) for l in lens_list])
+    keep = lens > 0
+    codes, lens = codes[keep], lens[keep]
+    if len(codes) == 0:
+        return b""
+    offsets = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=offsets[1:])
+    total = int(offsets[-1] + lens[-1])
+    plane = np.zeros(((total + 7) // 8) * 8, dtype=np.uint8)
+    max_len = int(lens.max())
+    for j in range(max_len):
+        m = lens > j
+        shifts = (lens[m] - 1 - j).astype(np.uint64)
+        plane[offsets[m] + j] = ((codes[m] >> shifts) & _ONE).astype(np.uint8)
+    return np.packbits(plane).tobytes()
 
 
 class _BitReader:
+    """MSB-first bit reader; reads whole fields via int.from_bytes."""
+
     __slots__ = ("data", "pos")
 
     def __init__(self, data: bytes) -> None:
@@ -55,48 +90,49 @@ class _BitReader:
         self.pos = 0  # bit position
 
     def read(self, bits: int) -> int:
-        out = 0
-        for _ in range(bits):
-            byte = self.data[self.pos >> 3]
-            out = (out << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
-            self.pos += 1
-        return out
+        pos = self.pos
+        start = pos >> 3
+        end = (pos + bits + 7) >> 3
+        chunk = int.from_bytes(self.data[start:end], "big")
+        total = (end - start) * 8
+        self.pos = pos + bits
+        return (chunk >> (total - (pos & 7) - bits)) & ((1 << bits) - 1)
 
 
-def _zigzag(v: int) -> int:
-    return (v << 1) ^ (v >> 63)
+# ---------------------------------------------------------------------------
+# Timestamps: delta-of-delta (fully vectorized — no sequential state)
+# ---------------------------------------------------------------------------
 
 
-def _unzigzag(v: int) -> int:
-    return (v >> 1) ^ -(v & 1)
-
-
-def encode_timestamps(ts: np.ndarray, w: _BitWriter) -> None:
+def _encode_timestamps_codes(ts: np.ndarray) -> tuple[list, list]:
     ts = np.asarray(ts, dtype=np.int64)
-    w.write(int(ts[0]) & 0xFFFFFFFFFFFFFFFF, 64)
-    if len(ts) == 1:
-        return
-    first_delta = int(ts[1]) - int(ts[0])
-    w.write(_zigzag(first_delta) & 0xFFFFFFFFFFFFFFFF, 64)
-    prev_delta = first_delta
+    n = len(ts)
+    head_codes = np.array([np.uint64(ts[0])], dtype=np.uint64)
+    head_lens = np.array([64], dtype=np.int64)
+    if n == 1:
+        return [head_codes], [head_lens]
     deltas = np.diff(ts)
-    for d in deltas[1:]:
-        dod = int(d) - prev_delta
-        prev_delta = int(d)
-        if dod == 0:
-            w.write(0, 1)
-        elif -63 <= dod <= 64:
-            w.write(0b10, 2)
-            w.write(dod & 0x7F, 7)
-        elif -255 <= dod <= 256:
-            w.write(0b110, 3)
-            w.write(dod & 0x1FF, 9)
-        elif -2047 <= dod <= 2048:
-            w.write(0b1110, 4)
-            w.write(dod & 0xFFF, 12)
-        else:
-            w.write(0b1111, 4)
-            w.write(dod & 0xFFFFFFFF, 32)
+    first = np.array([_zigzag(deltas[:1])[0]], dtype=np.uint64)
+    if n == 2:
+        return [head_codes, first], [head_lens, np.array([64])]
+    dod = (deltas[1:] - deltas[:-1]).astype(np.int64)
+    m = len(dod)
+    codes = np.zeros(m, dtype=np.uint64)
+    lens = np.ones(m, dtype=np.int64)  # default: '0' (dod == 0)
+    b7 = (dod != 0) & (dod >= -63) & (dod <= 64)
+    b9 = (dod != 0) & ~b7 & (dod >= -255) & (dod <= 256)
+    b12 = (dod != 0) & ~b7 & ~b9 & (dod >= -2047) & (dod <= 2048)
+    b32 = (dod != 0) & ~b7 & ~b9 & ~b12
+    udod = dod.view(np.uint64)
+    codes[b7] = (np.uint64(0b10) << _U64(7)) | (udod[b7] & _U64(0x7F))
+    lens[b7] = 9
+    codes[b9] = (np.uint64(0b110) << _U64(9)) | (udod[b9] & _U64(0x1FF))
+    lens[b9] = 12
+    codes[b12] = (np.uint64(0b1110) << _U64(12)) | (udod[b12] & _U64(0xFFF))
+    lens[b12] = 16
+    codes[b32] = (np.uint64(0b1111) << _U64(32)) | (udod[b32] & _U64(0xFFFFFFFF))
+    lens[b32] = 36
+    return [head_codes, first, codes], [head_lens, np.array([64]), lens]
 
 
 def decode_timestamps(r: _BitReader, n: int) -> np.ndarray:
@@ -107,10 +143,7 @@ def decode_timestamps(r: _BitReader, n: int) -> np.ndarray:
     out[0] = first
     if n == 1:
         return out
-    fd = r.read(64)
-    if fd >= 1 << 63:
-        fd -= 1 << 64
-    delta = _unzigzag(fd)
+    delta = _unzigzag(r.read(64))
     out[1] = out[0] + delta
     for i in range(2, n):
         if r.read(1) == 0:
@@ -131,32 +164,63 @@ def decode_timestamps(r: _BitReader, n: int) -> np.ndarray:
     return out
 
 
-def encode_values(values: np.ndarray, w: _BitWriter) -> None:
+# ---------------------------------------------------------------------------
+# Values: XOR with leading/trailing window reuse
+# ---------------------------------------------------------------------------
+
+
+def _encode_values_codes(values: np.ndarray) -> tuple[list, list]:
     bits = np.asarray(values, dtype=np.float64).view(np.uint64)
-    prev = int(bits[0])
-    w.write(prev, 64)
+    n = len(bits)
+    head = np.array([bits[0]], dtype=np.uint64)
+    head_len = np.array([64], dtype=np.int64)
+    if n == 1:
+        return [head], [head_len]
+    xors = bits[1:] ^ bits[:-1]
+    m = len(xors)
+    bl = _bit_length_u64(xors)
+    lead = np.minimum(64 - bl, 31)  # clamp to 5-bit field
+    low = xors & (~xors + _ONE)  # lowest set bit
+    trail = _bit_length_u64(low) - 1  # -1 for xor==0 (unused)
+
+    # sequential window-reuse state scan — plain-int list ops only; the
+    # heavy bit work stays vectorized in _pack_codes.
+    hdr_l: list[int] = [0] * m
+    hdr_len_l: list[int] = [1] * m  # '0' for xor == 0
+    pay_l: list[int] = [0] * m
+    pay_len_l: list[int] = [0] * m
     prev_lead, prev_len = -1, 0
-    for v in bits[1:]:
-        v = int(v)
-        x = prev ^ v
-        prev = v
+    lead_list = lead.tolist()
+    trail_list = trail.tolist()
+    xor_list = xors.tolist()
+    for i, x in enumerate(xor_list):
         if x == 0:
-            w.write(0, 1)
             continue
-        lead = 64 - x.bit_length()
-        trail = (x & -x).bit_length() - 1
-        if lead > 31:
-            lead = 31
-        if prev_lead != -1 and lead >= prev_lead and trail >= 64 - prev_lead - prev_len:
-            w.write(0b10, 2)
-            w.write(x >> (64 - prev_lead - prev_len), prev_len)
+        le = lead_list[i]
+        tr = trail_list[i]
+        if prev_lead != -1 and le >= prev_lead and tr >= 64 - prev_lead - prev_len:
+            hdr_l[i] = 0b10
+            hdr_len_l[i] = 2
+            pay_l[i] = x >> (64 - prev_lead - prev_len)
+            pay_len_l[i] = prev_len
         else:
-            length = 64 - lead - trail
-            w.write(0b11, 2)
-            w.write(lead, 5)
-            w.write(length - 1, 6)  # length in 1..64 stored as 0..63
-            w.write(x >> trail, length)
-            prev_lead, prev_len = lead, length
+            length = 64 - le - tr
+            hdr_l[i] = (0b11 << 11) | (le << 6) | (length - 1)
+            hdr_len_l[i] = 13
+            pay_l[i] = x >> tr
+            pay_len_l[i] = length
+            prev_lead, prev_len = le, length
+
+    # interleave header/payload per element into one code stream:
+    # hdr_len ≤ 13, pay_len ≤ 64 → may exceed 64 bits combined, so emit as
+    # two consecutive segments per element via element-interleaved layout.
+    codes = np.empty(2 * m, dtype=np.uint64)
+    lens = np.empty(2 * m, dtype=np.int64)
+    codes[0::2] = hdr_l
+    lens[0::2] = hdr_len_l
+    codes[1::2] = pay_l
+    lens[1::2] = pay_len_l
+    return [head, codes], [head_len, lens]
 
 
 def decode_values(r: _BitReader, n: int) -> np.ndarray:
@@ -169,30 +233,28 @@ def decode_values(r: _BitReader, n: int) -> np.ndarray:
             out[i] = prev
             continue
         if r.read(1) == 0:  # reuse window
-            bits = r.read(length)
-            x = bits << (64 - lead - length)
+            x = r.read(length) << (64 - lead - length)
         else:
             lead = r.read(5)
             length = r.read(6) + 1
-            bits = r.read(length)
-            x = bits << (64 - lead - length)
+            x = r.read(length) << (64 - lead - length)
         prev ^= x
         out[i] = prev
     return out.view(np.float64)
 
 
-MAGIC = b"GOR1"
+# ---------------------------------------------------------------------------
+# Chunk container
+# ---------------------------------------------------------------------------
 
 
 def encode_chunk(ts: np.ndarray, values: np.ndarray) -> bytes:
     """(int64 seconds, float64 values) → self-describing binary payload."""
     assert len(ts) == len(values)
-    w = _BitWriter()
-    encode_timestamps(ts, w)
-    tbytes = w.getvalue()
-    w2 = _BitWriter()
-    encode_values(values, w2)
-    vbytes = w2.getvalue()
+    t_codes, t_lens = _encode_timestamps_codes(np.asarray(ts))
+    tbytes = _pack_codes(t_codes, t_lens)
+    v_codes, v_lens = _encode_values_codes(np.asarray(values))
+    vbytes = _pack_codes(v_codes, v_lens)
     header = MAGIC + struct.pack("<IQ", len(ts), len(tbytes))
     return header + tbytes + vbytes
 

@@ -6,9 +6,11 @@ buckets are near-regular, so most deltas-of-deltas are 0 ⇒ ~1 bit/ts) and
 one chosen aggregate column (Gorilla XOR). Grouped Arrow UDF: the executor
 sees whole chunks as numpy arrays, the driver never touches data.
 
-Chunking: ``chunk_buckets`` buckets per payload (default 2h of 1m points per
-chunk at tier=1m via 120). At 10^12 raw rows the tier tables are ~60-86400×
-smaller; compression output is the retention artifact.
+Chunking: ``chunk_buckets`` buckets per payload — default 16384 (~11 days of
+1m buckets, ~2 years of 1h). Chunks need to be thousands of points for the
+vectorized encoder to amortize; sub-100-point chunks are dominated by NumPy
+setup. At 10^12 raw rows the tier tables are ~60-86400× smaller; compression
+output is the retention artifact.
 """
 
 from __future__ import annotations
@@ -25,7 +27,7 @@ def compress_rollup(
     tier_df: DataFrame,
     tier: str,
     value_col: str = "vsum",
-    chunk_buckets: int = 256,
+    chunk_buckets: int = 16384,
 ) -> DataFrame:
     """rollup tier rows → (series_key, tier, chunk_start, codec, n_points, payload)."""
     sec = TIER_SECONDS[tier]

@@ -47,23 +47,45 @@ def correct_series(
     """Run the full 3-step correction per series. Returns (series_key, t, value).
 
     ``points``: long-format (series_key, t:double epoch-seconds, value:double).
+
+    Execution shape: ONE explicit hash shuffle on the series key (explicit
+    ``repartition`` rather than groupBy's implicit exchange, for two scale
+    reasons), then ``mapInPandas`` with an in-pandas groupby:
+
+    1. AQE's bytes-based partition coalescing is blind to Python cost — on a
+       small-bytes/heavy-compute kernel stage it coalesces to ~1 task and
+       serializes the job (measured 22s → 8s at sf0.1/local[32]). A
+       user-specified repartition is exempt from AQE coalescing and still
+       satisfies the clustering requirement, so no second exchange happens.
+    2. ``groupBy().applyInPandas`` pays per-GROUP Arrow/pandas setup — ruinous
+       for many small series. ``mapInPandas`` streams each partition as one
+       Arrow sequence and the kernel does a plain ``pandas.groupby`` inside
+       (hash partitioning guarantees no series straddles partitions).
+
+    Default partition count: 4× parallelism — small enough tasks to smooth
+    group-size skew, large enough to amortize Python worker startup.
     """
     cfg = {**oracle.DEFAULT_CONFIG, **(config or {})}
+    if num_partitions is None:
+        num_partitions = points.sparkSession.sparkContext.defaultParallelism * 4
 
-    def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        key = pdf[key_col].iloc[0]
-        frame = pdf[[time_col, value_col]].rename(columns={time_col: "t", value_col: "value"})
-        out = oracle.process_series(frame, "t", "value", cfg)
-        # gap-inserted rows carry NaN in every non-time column incl. the key —
-        # restore it (the oracle mirrors the reference's all-NaN gap rows,
-        # scripts/discontinuity_utils.py:137-140).
-        out.insert(0, "series_key", key)
-        return out[["series_key", "t", "value"]]
+    def _process_partition(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        for key, grp in pdf.groupby(key_col, sort=False):
+            frame = grp[[time_col, value_col]].rename(columns={time_col: "t", value_col: "value"})
+            out = oracle.process_series(frame, "t", "value", cfg)
+            # gap-inserted rows carry NaN in every non-time column incl. the
+            # key — restore it (the oracle mirrors the reference's all-NaN gap
+            # rows, scripts/discontinuity_utils.py:137-140).
+            out.insert(0, "series_key", key)
+            yield out[["series_key", "t", "value"]]
 
-    grouped = points
-    if num_partitions:
-        grouped = grouped.repartition(num_partitions, key_col)
-    return grouped.groupBy(key_col).applyInPandas(_kernel, schema=CORRECTED_POINTS)
+    return points.repartition(num_partitions, key_col).mapInPandas(
+        _process_partition, schema=CORRECTED_POINTS
+    )
 
 
 def correct_series_chunked(

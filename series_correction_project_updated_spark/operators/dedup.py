@@ -38,17 +38,18 @@ def minhash_signatures(
     shingle_k: int = 3,
 ) -> DataFrame:
     """(id, minhash array<long>) — minhash[i] = min over shingles of
-    xxhash64(shingle, seed=i). All JVM-side."""
-    with_sh = docs.select(
+    xxhash64(shingle, seed=i). All JVM-side.
+
+    Shape: explode shingles once, hash K ways per row, partial-aggregate K
+    mins map-side — one pass over the data and a tiny shuffle (K longs per
+    doc), instead of K array scans per document.
+    """
+    sh = docs.select(
         F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("w")
-    ).select(F.col(id_col), shingles_from_words("w", shingle_k).alias("sh"))
-    mins = F.array(
-        *[
-            F.array_min(F.transform("sh", lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
-    )
-    return with_sh.select(F.col(id_col), mins.alias("minhash"))
+    ).select(F.col(id_col), F.explode(shingles_from_words("w", shingle_k)).alias("s"))
+    mins = [F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    agg = sh.groupBy(id_col).agg(*mins)
+    return agg.select(F.col(id_col), F.array(*[f"h{i}" for i in range(num_hashes)]).alias("minhash"))
 
 
 def shingles_from_words(words_col: str, k: int = 3) -> F.Column:
