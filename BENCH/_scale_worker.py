@@ -2,15 +2,24 @@
 """One scaling-run worker: full pipeline at a given core count, JSON to stdout.
 
 Invoked by BENCH/scaling.py as a subprocess so each parallelism level gets a
-fresh JVM. Startup and input generation are excluded from the timed section
-(the scaling protocol measures the JOB, not JVM warmup).
+fresh JVM. Excluded from the timed window: JVM startup, input generation and
+materialization, and Python-worker spin-up (a warmup pandas-UDF pass).
+
+Pipeline shape mirrors production (plans/pipeline.py): correct → 1m tier →
+parquet sink, cascade 1h/1d from the sink, compress from the sink. No
+persist-each-step — in-memory columnar cache builds contend under high
+thread counts and would distort the scaling signal. The pipeline runs
+``reps`` times (fresh output dir each time) and the FASTEST rep is reported,
+which filters transient VM noise.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -22,7 +31,7 @@ from series_correction_project_updated_spark.operators.compress import (  # noqa
     compress_rollup,
 )
 from series_correction_project_updated_spark.operators.correct import correct_series  # noqa: E402
-from series_correction_project_updated_spark.operators.rollup import rollup_all_tiers  # noqa: E402
+from series_correction_project_updated_spark.operators.rollup import cascade, rollup  # noqa: E402
 from series_correction_project_updated_spark.session import get_spark  # noqa: E402
 from series_correction_project_updated_spark.sources.synth import (  # noqa: E402
     generate_pages,
@@ -32,8 +41,9 @@ from series_correction_project_updated_spark.sources.synth import (  # noqa: E40
 
 def main() -> None:
     cores = int(sys.argv[1])
-    n_urls = int(sys.argv[2]) if len(sys.argv) > 2 else 1500
-    samples = int(sys.argv[3]) if len(sys.argv) > 3 else 400
+    n_urls = int(sys.argv[2]) if len(sys.argv) > 2 else 4000
+    samples = int(sys.argv[3]) if len(sys.argv) > 3 else 600
+    reps = int(os.environ.get("SCALE_REPS", "3"))
 
     spark = get_spark(
         app_name=f"scale-{cores}", master=f"local[{cores}]", shuffle_partitions=cores * 2
@@ -41,62 +51,76 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     pages = generate_pages(spark, n_urls=n_urls, samples_per_url=samples)
-    points = pages_to_series(pages).persist()
-    n_in = points.count()  # warmup + materialize input outside the timed window
+    points = pages_to_series(pages).repartition(cores * 4, "series_key").persist()
+    n_in = points.count()  # materialize input outside the timed window
+    points.mapInPandas(lambda it: it, schema=points.schema).count()  # worker spin-up
 
-    t0 = time.perf_counter()
-    corrected = correct_series(points).persist()
-    n_corrected = corrected.count()
-    t_correct = time.perf_counter() - t0
+    best = None
+    for _rep in range(reps):
+        d = tempfile.mkdtemp(prefix="scale_")
+        try:
+            t0 = time.perf_counter()
+            corrected = correct_series(points)
+            rollup(corrected, "1m").write.mode("overwrite").parquet(f"{d}/r1m")
+            t1 = time.perf_counter()
+            r1m = spark.read.parquet(f"{d}/r1m")
+            cascade(r1m, "1h").write.mode("overwrite").parquet(f"{d}/r1h")
+            r1h = spark.read.parquet(f"{d}/r1h")
+            cascade(r1h, "1d").write.mode("overwrite").parquet(f"{d}/r1d")
+            t2 = time.perf_counter()
+            compress_rollup(r1m, "1m").write.mode("overwrite").parquet(f"{d}/comp")
+            t3 = time.perf_counter()
 
-    t0 = time.perf_counter()
-    tiers = rollup_all_tiers(corrected)
-    tier_counts = {}
-    checksums = {}
-    for name, df in tiers.items():
-        df = df.persist()
-        tier_counts[name] = df.count()
-        checksums[name] = df.select(
-            F.sum(
-                F.xxhash64(
-                    "series_key",
-                    "bucket_start",
-                    "cnt",
-                    F.round("vsum", 6),
-                    F.round("vmin", 6),
-                    F.round("vmax", 6),
-                    F.round("vfirst", 6),
-                    F.round("vlast", 6),
-                )
-            ).alias("c")
-        ).collect()[0]["c"]
-    t_rollup = time.perf_counter() - t0
+            rec = {
+                "sec_correct_1m": round(t1 - t0, 3),
+                "sec_cascades": round(t2 - t1, 3),
+                "sec_compress": round(t3 - t2, 3),
+                "work_sec": round(t3 - t0, 3),
+            }
+            if best is None or rec["work_sec"] < best["rec"]["work_sec"]:
+                tier_counts, checksums = {}, {}
+                for name in ("r1m", "r1h", "r1d"):
+                    df = spark.read.parquet(f"{d}/{name}")
+                    tier_counts[name[1:]] = df.count()
+                    row_hash = F.xxhash64(
+                        "series_key",
+                        "bucket_start",
+                        "cnt",
+                        F.round("vsum", 6),
+                        F.round("vmin", 6),
+                        F.round("vmax", 6),
+                        F.round("vfirst", 6),
+                        F.round("vlast", 6),
+                    )
+                    checksums[name[1:]] = df.select(F.bit_xor(row_hash).alias("c")).collect()[0]["c"]
+                bpp = bytes_per_point(spark.read.parquet(f"{d}/comp")).collect()
+                n_corrected = tier_counts["1m"] and spark.read.parquet(f"{d}/r1m").agg(
+                    F.sum("cnt")
+                ).collect()[0][0]
+                best = {
+                    "rec": rec,
+                    "tier_counts": tier_counts,
+                    "checksums": checksums,
+                    "bpp": round(float(bpp[0]["bytes_per_point"]), 4) if bpp else None,
+                    "n_corrected": int(n_corrected),
+                }
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
 
-    t0 = time.perf_counter()
-    comp = compress_rollup(tiers["1m"], "1m").persist()
-    comp.count()
-    bpp = bytes_per_point(comp).collect()
-    t_compress = time.perf_counter() - t0
-
-    total_rolled = sum(tier_counts.values())
-    work_sec = t_correct + t_rollup + t_compress
-    # shuffle/task stats from the status API
-    sc = spark.sparkContext
+    rec = best["rec"]
     print(
         json.dumps(
             {
                 "cores": cores,
+                "reps": reps,
                 "input_points": n_in,
-                "corrected_points": n_corrected,
-                "tier_counts": tier_counts,
-                "tier_checksums": checksums,
-                "rolled_points_total": total_rolled,
-                "sec_correct": round(t_correct, 3),
-                "sec_rollup": round(t_rollup, 3),
-                "sec_compress": round(t_compress, 3),
-                "work_sec": round(work_sec, 3),
-                "throughput_pts_per_sec": round(n_corrected / work_sec, 1),
-                "bytes_per_point_1m": round(float(bpp[0]["bytes_per_point"]), 4) if bpp else None,
+                "corrected_points": best["n_corrected"],
+                "tier_counts": best["tier_counts"],
+                "tier_checksums": best["checksums"],
+                "rolled_points_total": sum(best["tier_counts"].values()),
+                **rec,
+                "throughput_pts_per_sec": round(best["n_corrected"] / rec["work_sec"], 1),
+                "bytes_per_point_1m": best["bpp"],
             }
         )
     )

@@ -44,6 +44,9 @@ BENCH_QUERIES = [
     "q_dedup_exact",
     "q_token_count",
     "q_knn_cosine",
+    "q_rolling_stats",
+    "q_interpolate_nulls",
+    "q_word_overlap_pairs",
     "q_correct_series",
     "q_minhash_pairs",
 ]

@@ -1,0 +1,198 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Training-data-pipeline plumbing for non-text payloads at 100 TB. Media
+travels as a ``binary`` column with a typed metadata struct; per-batch
+processing runs through ``mapInPandas`` (Arrow batches of whole payloads) so
+decode/resize/frame-sample parallelize across executors and never hit
+per-row Python.
+
+The actual codec work (JPEG decode, audio resample, video frame extraction)
+requires libraries not present in this container, so the decode step is a
+STUB — ``_decode_payload`` raises ``NotImplementedError`` for real media
+unless a codec library is importable, and supports the deterministic
+``FAKE`` container (``make_fake_media``) end-to-end so the Spark-side
+plumbing (schema, partitioning, UDF signature, batch shape) is real and
+tested.
+
+FAKE container layout (deterministic, seedable):
+    b"FAKEMEDIA" | kind(1B: I/A/V) | width u16 | height u16 | n_frames u16 |
+    sample_rate u32 | payload bytes (xxhash-seeded pseudo-noise)
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("n_frames", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("codec", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+_MAGIC = b"FAKEMEDIA"
+_KIND_BYTE = {"image": b"I", "audio": b"A", "video": b"V"}
+_BYTE_KIND = {v: k for k, v in _KIND_BYTE.items()}
+
+
+def make_fake_media(
+    spark: SparkSession, n: int = 100, seed: int = 42, partitions: int | None = None
+) -> DataFrame:
+    """Deterministic fake media table (Spark-side generation via mapInPandas
+    so the same code scales; payload is seeded pseudo-noise)."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id in pdf["id"]:
+                rng = np.random.default_rng(seed * 1_000_003 + int(media_id))
+                kind = ["image", "audio", "video"][int(media_id) % 3]
+                w, h = int(rng.integers(16, 64)), int(rng.integers(16, 64))
+                n_frames = int(rng.integers(1, 16)) if kind == "video" else 1
+                sr = 16000 if kind == "audio" else 0
+                body_len = w * h if kind != "audio" else sr // 10
+                body = rng.integers(0, 256, body_len, dtype=np.uint8).tobytes()
+                payload = (
+                    _MAGIC
+                    + _KIND_BYTE[kind]
+                    + struct.pack("<HHHI", w, h, n_frames, sr)
+                    + body
+                )
+                rows.append(
+                    (int(media_id), kind, payload, (w, h, n_frames, sr, "fake"))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+    base = spark.range(0, n, 1, numPartitions=partitions or 4)
+    return base.mapInPandas(_gen, schema=MEDIA_SCHEMA)
+
+
+def _decode_payload(payload: bytes) -> tuple[str, int, int, int, int, np.ndarray]:
+    """Decode one payload → (kind, w, h, n_frames, sample_rate, array).
+
+    Real codecs are stubbed: a non-FAKE payload raises NotImplementedError
+    unless PIL/soundfile are available (import-gated)."""
+    if payload[: len(_MAGIC)] == _MAGIC:
+        kind = _BYTE_KIND[payload[len(_MAGIC) : len(_MAGIC) + 1]]
+        w, h, n_frames, sr = struct.unpack_from("<HHHI", payload, len(_MAGIC) + 1)
+        body = np.frombuffer(payload, dtype=np.uint8, offset=len(_MAGIC) + 1 + 10)
+        return kind, w, h, n_frames, sr, body
+    try:  # pragma: no cover - real codec path, not in this container
+        import PIL.Image  # noqa: F401
+    except ImportError:
+        raise NotImplementedError(
+            "real media decoding requires codec libraries not present here; "
+            "only the FAKE container is supported in this environment"
+        ) from None
+    raise NotImplementedError("real codec path not implemented")
+
+
+def extract_media_features(media: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Decode + feature-extract per payload: byte-mean/std, 8-bin histogram.
+
+    mapInPandas over whole Arrow batches — the pattern a real decode
+    (JPEG → tensor → resize) would use; only ``_decode_payload`` changes."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("byte_mean", T.DoubleType()),
+            T.StructField("byte_std", T.DoubleType()),
+            T.StructField("histogram", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                kind, w, h, nf, sr, body = _decode_payload(bytes(payload))
+                hist, _ = np.histogram(body, bins=8, range=(0, 256))
+                hist = (hist / max(len(body), 1)).tolist()
+                recs.append((int(media_id), kind, float(body.mean()), float(body.std()), hist))
+            yield pd.DataFrame(
+                recs, columns=["media_id", "kind", "byte_mean", "byte_std", "histogram"]
+            )
+
+    src = media.repartition(num_partitions) if num_partitions else media
+    return src.mapInPandas(_extract, schema=out_schema)
+
+
+def resize_images(media: DataFrame, target: int = 16) -> DataFrame:
+    """'Resize' images to target×target (block-mean downsample of the fake
+    body; a real impl swaps in PIL). Returns (media_id, resized binary)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("resized", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                kind, w, h, nf, sr, body = _decode_payload(bytes(payload))
+                if kind != "image":
+                    continue
+                img = body[: w * h].reshape(h, w)
+                ys = np.linspace(0, h, target + 1, dtype=int)
+                xs = np.linspace(0, w, target + 1, dtype=int)
+                small = np.empty((target, target), dtype=np.uint8)
+                for i in range(target):
+                    for j in range(target):
+                        small[i, j] = int(img[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean())
+                recs.append((int(media_id), small.tobytes(), target, target))
+            yield pd.DataFrame(recs, columns=["media_id", "resized", "width", "height"])
+
+    return media.where(F.col("kind") == "image").mapInPandas(_resize, schema=out_schema)
+
+
+def sample_video_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
+    """Frame sampling: one row per kept frame (media_id, frame_idx, frame).
+
+    For FAKE video the 'frames' are equal slices of the body."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                kind, w, h, nf, sr, body = _decode_payload(bytes(payload))
+                if kind != "video" or nf == 0:
+                    continue
+                per = max(len(body) // max(nf, 1), 1)
+                for idx in range(0, nf, every_n):
+                    recs.append((int(media_id), idx, body[idx * per : (idx + 1) * per].tobytes()))
+            yield pd.DataFrame(recs, columns=["media_id", "frame_idx", "frame"])
+
+    return media.where(F.col("kind") == "video").mapInPandas(_sample, schema=out_schema)

@@ -642,6 +642,151 @@ FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
 """
 
 
+def q_rolling_stats(spark, sf_dir):
+    """Trailing rolling mean/std with min_periods semantics (W1 —
+    processor.py:172-175: pandas rolling(w).mean()/.std(), first w−1 null).
+    Native window functions; stddev_samp matches pandas ddof=1."""
+    pts = _event_points(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("t").rowsBetween(-4, 0)
+    cnt = F.count("value").over(w)
+    return pts.select(
+        "user_id",
+        F.round("t", 3).alias("t"),
+        F.round(F.when(cnt >= 5, F.avg("value").over(w)), 6).alias("roll_mean"),
+        F.round(F.when(cnt >= 5, F.stddev_samp("value").over(w)), 6).alias("roll_std"),
+    ).orderBy("user_id", "t")
+
+
+SQL_ROLLING = """
+WITH pts AS (SELECT user_id, epoch_ms(ts)/1000.0 AS t, value FROM events),
+r AS (SELECT user_id, t, value,
+             count(value) OVER w AS c,
+             avg(value) OVER w AS m,
+             stddev_samp(value) OVER w AS s
+      FROM pts
+      WINDOW w AS (PARTITION BY user_id ORDER BY t ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+SELECT user_id, round(t, 3) AS t,
+       round(CASE WHEN c >= 5 THEN m END, 6) AS roll_mean,
+       round(CASE WHEN c >= 5 THEN s END, 6) AS roll_std
+FROM r ORDER BY user_id, t
+"""
+
+
+def q_interpolate_nulls(spark, sf_dir):
+    """Linear interpolation of nulled values between bracketing non-null
+    neighbors, edge-filled (W10 — the reference's
+    interpolate(method='linear', limit_direction='both'),
+    discontinuity_utils.py:144-163) — PURE native Spark windows.
+
+    Nulls are injected deterministically (event_id % 19 == 0) since the
+    events table has none.
+    """
+    pts = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        (F.unix_millis(F.col("ts").cast("timestamp")) / 1000.0).alias("t"),
+        F.when(F.col("event_id") % 19 != 0, F.col("value")).alias("v"),
+    )
+    wall = Window.partitionBy("user_id").orderBy("t")
+    wb = wall.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = wall.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    prev_v = F.last("v", ignorenulls=True).over(wb)
+    next_v = F.first("v", ignorenulls=True).over(wf)
+    prev_t = F.last(F.when(F.col("v").isNotNull(), F.col("t")), ignorenulls=True).over(wb)
+    next_t = F.first(F.when(F.col("v").isNotNull(), F.col("t")), ignorenulls=True).over(wf)
+    frac = (F.col("t") - prev_t) / (next_t - prev_t)
+    interp = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        F.when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .otherwise(prev_v + (next_v - prev_v) * frac)
+    )
+    return pts.select(
+        "user_id", "event_id", F.round("t", 3).alias("t"), F.round(interp, 6).alias("v_filled")
+    ).orderBy("user_id", "t")
+
+
+SQL_INTERPOLATE = """
+WITH pts AS (
+  SELECT user_id, event_id, epoch_ms(ts)/1000.0 AS t,
+         CASE WHEN event_id % 19 <> 0 THEN value END AS v
+  FROM events),
+f AS (
+  SELECT user_id, event_id, t, v,
+         last_value(v IGNORE NULLS) OVER wb AS prev_v,
+         first_value(v IGNORE NULLS) OVER wf AS next_v,
+         last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wb AS prev_t,
+         first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wf AS next_t
+  FROM pts
+  WINDOW wb AS (PARTITION BY user_id ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT user_id, event_id, round(t, 3) AS t,
+       round(CASE WHEN v IS NOT NULL THEN v
+                  WHEN prev_v IS NULL THEN next_v
+                  WHEN next_v IS NULL THEN prev_v
+                  ELSE prev_v + (next_v - prev_v) * (t - prev_t) / (next_t - prev_t)
+             END, 6) AS v_filled
+FROM f ORDER BY user_id, t
+"""
+
+
+def q_group_collect(spark, sf_dir):
+    """Group-collect (A4 — river-mile → sensor list analog,
+    batch_correction.py:432-437): nations per region as a sorted array."""
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sort_array(F.collect_list("n_name")).alias("nations"),
+            F.count("*").alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
+
+
+SQL_GROUP_COLLECT = """
+SELECT r_name, list_sort(list(n_name)) AS nations, count(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+def q_formula_escape(spark, sf_dir):
+    """Formula-injection escape (F7 — spreadsheet_safety.py:8-46): cells
+    starting with = + - @ get a leading apostrophe; idempotent."""
+    from .functions.safety import escape_formula
+
+    docs = load(spark, sf_dir, "documents")
+    cell = F.concat(
+        F.when(F.col("doc_id") % 4 == 0, F.lit("=HYPERLINK(x)|"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("+SUM(1)|"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("'=already|"))
+        .otherwise(F.lit("")),
+        F.substring("text", 1, 20),
+    )
+    return (
+        docs.select(F.col("doc_id"), escape_formula(cell).alias("safe_cell"))
+        .orderBy("doc_id")
+    )
+
+
+SQL_FORMULA_ESCAPE = r"""
+WITH cells AS (
+  SELECT doc_id,
+         concat(CASE WHEN doc_id % 4 = 0 THEN '=HYPERLINK(x)|'
+                     WHEN doc_id % 4 = 1 THEN '+SUM(1)|'
+                     WHEN doc_id % 4 = 2 THEN '''=already|'
+                     ELSE '' END,
+                substr(text, 1, 20)) AS cell
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN regexp_matches(cell, '^\s*[=+\-@＝＋－＠]') AND cell NOT LIKE '''%'
+            THEN concat('''', cell) ELSE cell END AS safe_cell
+FROM cells ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Non-SQL-expressible ops (rows-only driver check; parity covered by pytest)
 # ---------------------------------------------------------------------------
@@ -724,6 +869,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q_text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "q_word_overlap_pairs": (q_word_overlap_pairs, SQL_WORD_OVERLAP),
     "q_knn_cosine": (q_knn_cosine, SQL_KNN),
+    "q_rolling_stats": (q_rolling_stats, SQL_ROLLING),
+    "q_interpolate_nulls": (q_interpolate_nulls, SQL_INTERPOLATE),
+    "q_group_collect": (q_group_collect, SQL_GROUP_COLLECT),
+    "q_formula_escape": (q_formula_escape, SQL_FORMULA_ESCAPE),
     # rows-only (non-SQL-expressible; parity via pytest instead)
     "q_correct_series": (q_correct_series, None),
     "q_minhash_pairs": (q_minhash_pairs, None),
