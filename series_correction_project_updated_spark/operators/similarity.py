@@ -115,6 +115,104 @@ def lsh_topk(
     )
 
 
+def train_ivf_centroids(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 8,
+    seed: int = 42,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Driver-side seeded k-means on a deterministic bounded sample — the IVF
+    coarse quantizer. The ONLY collect in the similarity ops, and it is
+    bounded by ``sample`` rows regardless of table size (at 100 TB you train
+    the quantizer on a sample; assignment stays distributed)."""
+    rows = (
+        vectors.select(id_col, _as_double(vec_col).alias("e"))
+        .orderBy(id_col)
+        .limit(sample)
+        .collect()
+    )
+    x = np.array([r["e"] for r in rows], dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)  # cosine on unit vectors
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cent
+
+
+def _centroid_dots(emb_col, centroids: np.ndarray) -> F.Column:
+    """array<double> of dot(emb, centroid_i) — centroid literals fold into the
+    plan; scoring is pure JVM."""
+    dots = []
+    for c in centroids:
+        lit = F.array(*[F.lit(float(v)) for v in c])
+        dots.append(_dot(emb_col, lit))
+    return F.array(*dots)
+
+
+def ivf_assign(
+    df: DataFrame, centroids: np.ndarray, vec_col: str = "_emb", nprobe: int = 1
+) -> DataFrame:
+    """Add ``cells``: the ``nprobe`` nearest centroid ids (by cosine, unit
+    centroids). nprobe=1 for indexing, >1 for query-side probing."""
+    dots = _centroid_dots(F.col(vec_col), centroids)
+    ranked = F.array_sort(
+        F.transform(dots, lambda d, i: F.struct((-d).alias("nd"), i.alias("cell")))
+    )
+    cells = F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cell"])
+    return df.withColumn("cells", cells)
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: vectors live in their nearest-centroid cell;
+    each query probes its ``nprobe`` nearest cells and re-ranks exactly.
+
+    Scale path vs brute force: the candidate join is an equi-join on ``cell``
+    (shuffle/broadcast by Catalyst) touching ~nprobe/n_centroids of the
+    corpus per query instead of all of it."""
+    cent = train_ivf_centroids(vectors, n_centroids, seed=seed, id_col=id_col, vec_col=vec_col)
+    v = ivf_assign(with_norm(vectors, vec_col), cent, "_emb", nprobe=1).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("_emb").alias("eb"),
+        F.col("_nrm").alias("nb"),
+        F.col("cells")[0].alias("cell"),
+    )
+    q = ivf_assign(with_norm(queries, vec_col), cent, "_emb", nprobe=nprobe).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_emb").alias("ea"),
+        F.col("_nrm").alias("na"),
+        F.explode("cells").alias("cell"),
+    )
+    pairs = (
+        q.join(v, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _dot("ea", "eb") / (F.col("na") * F.col("nb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def embedding_near_dup(
     vectors: DataFrame,
     dim: int,

@@ -787,6 +787,146 @@ FROM cells ORDER BY doc_id
 """
 
 
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: broadcast dim join + conditional aggregate ratio
+    (J3 — the part table as the dim side)."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    part = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.round(F.sum(rev), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .withColumn(
+            "revenue_share",
+            F.round(F.col("revenue") / F.sum("revenue").over(Window.partitionBy()), 6),
+        )
+        .orderBy("p_type")
+    )
+
+
+SQL_Q14 = """
+WITH j AS (
+  SELECT p_type, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         count(*) AS n_items
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY p_type)
+SELECT p_type, revenue, n_items,
+       round(revenue / sum(revenue) OVER (), 6) AS revenue_share
+FROM j ORDER BY p_type
+"""
+
+
+def q_supplier_revenue(spark, sf_dir):
+    """Supplier-side star join: lineitem ⋈ supplier ⋈ nation (broadcast
+    dims), revenue + account balance per supplier nation."""
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count_distinct("s_suppkey").alias("n_suppliers"),
+            F.round(F.avg("s_acctbal"), 6).alias("avg_acctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+SQL_SUPPLIER_REVENUE = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(DISTINCT s_suppkey) AS n_suppliers,
+       round(avg(s_acctbal), 6) AS avg_acctbal
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+def q_token_bpe(spark, sf_dir):
+    """BPE-ish regex tokenization (letters runs / digit runs / single
+    punctuation) — the sub-word-ish counterpart to whitespace q_token_count."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(toks).alias("total_bpe_tokens"),
+            F.round(F.avg(toks), 6).alias("avg_bpe_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_TOKEN_BPE = r"""
+SELECT lang, count(*) AS n_docs,
+       sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS total_bpe_tokens,
+       round(avg(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))), 6) AS avg_bpe_tokens
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_quality_scores(spark, sf_dir):
+    """Quality-scoring features per source: punctuation / uppercase /
+    stopword ratios (textops.quality_scores semantics, aggregated;
+    per-row math unrounded in both engines, only aggregates rounded)."""
+    docs = load(spark, sf_dir, "documents")
+    text = F.col("text")
+    words = F.split(F.trim(text), r"\s+")
+    n_tokens = F.size(words).cast("double")
+    chars = F.length(text).cast("double")
+    punct = F.length(F.regexp_replace(text, r"[^\p{Punct}]", "")).cast("double")
+    upper = F.length(F.regexp_replace(text, r"[^A-Z]", "")).cast("double")
+    sw = ["the", "and", "of", "to", "a", "in", "is", "that", "for", "with"]
+    sw_hits = F.size(F.filter(F.transform(words, F.lower), lambda w: w.isin(*sw))).cast("double")
+    return (
+        docs.select(
+            "source",
+            (punct / chars).alias("pr"),
+            (upper / chars).alias("ur"),
+            (sw_hits / n_tokens).alias("sr"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("pr"), 6).alias("punct_ratio"),
+            F.round(F.avg("ur"), 6).alias("upper_ratio"),
+            F.round(F.avg("sr"), 6).alias("stopword_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_QUALITY_SCORES = r"""
+WITH f AS (
+  SELECT source,
+         CAST(len(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+           / len(text) AS pr,
+         CAST(len(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+           / len(text) AS ur,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                w -> list_contains(['the','and','of','to','a','in','is','that','for','with'], lower(w)))) AS DOUBLE)
+           / len(string_split_regex(trim(text), '\s+')) AS sr
+  FROM documents)
+SELECT source, count(*) AS n_docs,
+       round(avg(pr), 6) AS punct_ratio,
+       round(avg(ur), 6) AS upper_ratio,
+       round(avg(sr), 6) AS stopword_ratio
+FROM f GROUP BY source ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Non-SQL-expressible ops (rows-only driver check; parity covered by pytest)
 # ---------------------------------------------------------------------------
@@ -825,6 +965,80 @@ def q_simhash_buckets(spark, sf_dir):
         sig.groupBy("band")
         .agg(F.count("*").alias("n_docs"), F.count_distinct("simhash").alias("n_distinct"))
         .orderBy("band")
+    )
+
+
+def q_correct_chunked(spark, sf_dir):
+    """Skew-capped chunked correction + boundary level-shift realign
+    (operators.correct.correct_series_chunked — the hot-series path).
+    Rows-only; chunk-vs-whole equivalence is asserted in pytest."""
+    from .operators.correct import correct_series_chunked
+
+    pts = _event_points(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("series_key"), "t", "value"
+    )
+    return correct_series_chunked(pts, chunk_sec=7 * 86400.0)
+
+
+def q_fingerprint_dups(spark, sf_dir):
+    """Whitespace-normalized FNV-1a document fingerprints: duplicate groups
+    md5 misses (textops.fingerprint). The corpus has no duplicates, so
+    whitespace-variant copies of every 10th doc are planted deterministically
+    — the op must catch ALL of them (md5 catches none). Rows-only (no FNV in
+    DuckDB); fingerprint determinism asserted in pytest."""
+    from .operators.textops import fingerprint
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("  "), F.regexp_replace("text", r" ", "   ")).alias("text"),
+    )
+    return (
+        fingerprint(docs.unionByName(variants))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("rep_doc_id"), F.count("*").alias("cnt"))
+        .where(F.col("cnt") > 1)
+        .select("rep_doc_id", "cnt")
+        .orderBy("rep_doc_id")
+    )
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs via LSH buckets
+    (similarity.embedding_near_dup). Rows-only: bucketing is
+    hash-function-specific; subset-of-brute-force asserted in pytest."""
+    from .operators.similarity import embedding_near_dup
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    # the corpus has no near-identical vectors (max pairwise cosine ≈ 0.51),
+    # so perturbed copies of vec_id<20 are planted deterministically
+    # (±0.9% per-component wiggle ⇒ cosine ≈ 0.9999) — LSH must find them
+    perturbed = emb.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x * (1.0 + 0.003 * ((F.col("vec_id") * 31 + i) % 7 - 3).cast("double")),
+        ).alias("embedding"),
+    )
+    return (
+        embedding_near_dup(emb.unionByName(perturbed), dim=64, threshold=0.99, n_planes=6)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF approximate nearest neighbors: seeded k-means coarse quantizer,
+    nprobe-cell candidate join, exact re-rank (similarity.ivf_topk).
+    Rows-only; recall vs brute force asserted in pytest."""
+    from .operators.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries_df, k=3, n_centroids=10, nprobe=3).select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
     )
 
 
@@ -873,9 +1087,17 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q_interpolate_nulls": (q_interpolate_nulls, SQL_INTERPOLATE),
     "q_group_collect": (q_group_collect, SQL_GROUP_COLLECT),
     "q_formula_escape": (q_formula_escape, SQL_FORMULA_ESCAPE),
+    "q14_promo_revenue": (q14_promo_revenue, SQL_Q14),
+    "q_supplier_revenue": (q_supplier_revenue, SQL_SUPPLIER_REVENUE),
+    "q_token_bpe": (q_token_bpe, SQL_TOKEN_BPE),
+    "q_quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
     # rows-only (non-SQL-expressible; parity via pytest instead)
     "q_correct_series": (q_correct_series, None),
+    "q_correct_chunked": (q_correct_chunked, None),
     "q_minhash_pairs": (q_minhash_pairs, None),
     "q_simhash_buckets": (q_simhash_buckets, None),
     "q_langid": (q_langid, None),
+    "q_fingerprint_dups": (q_fingerprint_dups, None),
+    "q_embedding_near_dup": (q_embedding_near_dup, None),
+    "q_ivf_topk": (q_ivf_topk, None),
 }

@@ -96,6 +96,32 @@ def test_lsh_topk_recall_vs_exact(spark, vectors):
     assert hits >= 3
 
 
+def test_ivf_topk_recall_vs_exact(spark, vectors):
+    from series_correction_project_updated_spark.operators.similarity import cosine_topk, ivf_topk
+
+    q = vectors.where(F.col("vec_id") < 5)
+    exact = cosine_topk(vectors, q, k=1).toPandas().set_index("query_id")["neighbor_id"]
+    approx = (
+        ivf_topk(vectors, q, k=1, n_centroids=4, nprobe=2)
+        .toPandas()
+        .set_index("query_id")["neighbor_id"]
+    )
+    hits = sum(int(approx.get(qid, -1) == exact[qid]) for qid in exact.index)
+    assert hits >= 4  # nprobe=2 of 4 cells on 30 vecs: near-exact recall
+    # near-dup pair must be found regardless of cell boundaries
+    top0 = ivf_topk(vectors, vectors.where(F.col("vec_id") == 0), k=1, n_centroids=4, nprobe=2)
+    assert top0.toPandas().iloc[0]["neighbor_id"] == 1
+
+
+def test_ivf_centroids_deterministic(spark, vectors):
+    from series_correction_project_updated_spark.operators.similarity import train_ivf_centroids
+
+    a = train_ivf_centroids(vectors, n_centroids=4, seed=7)
+    b = train_ivf_centroids(vectors, n_centroids=4, seed=7)
+    assert np.array_equal(a, b)
+    assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
+
+
 def test_embedding_near_dup(spark, vectors):
     from series_correction_project_updated_spark.operators.similarity import embedding_near_dup
 
