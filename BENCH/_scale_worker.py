@@ -30,8 +30,8 @@ from series_correction_project_updated_spark.operators.compress import (  # noqa
     bytes_per_point,
     compress_rollup,
 )
-from series_correction_project_updated_spark.operators.correct import correct_series  # noqa: E402
-from series_correction_project_updated_spark.operators.rollup import cascade, rollup  # noqa: E402
+from series_correction_project_updated_spark.operators.correct import correct_and_rollup  # noqa: E402
+from series_correction_project_updated_spark.operators.rollup import cascade  # noqa: E402
 from series_correction_project_updated_spark.session import get_spark  # noqa: E402
 from series_correction_project_updated_spark.sources.synth import (  # noqa: E402
     generate_pages,
@@ -45,23 +45,48 @@ def main() -> None:
     samples = int(sys.argv[3]) if len(sys.argv) > 3 else 600
     reps = int(os.environ.get("SCALE_REPS", "3"))
 
+    # Partitioning is a property of the JOB, not the cluster size: on a real
+    # N→4N executor comparison the data layout stays fixed and only
+    # parallelism changes. Size partitions for the LARGER level (4× its
+    # cores) so both levels run identical tasks — at the smaller level they
+    # just queue deeper. Conflating partition count with core count makes
+    # the small level run 4× fatter tasks whose working set blows the cache,
+    # which corrupts the comparison (measured: 66 vs 36 µs·core/point).
+    n_part = int(os.environ.get("SCALE_PARTITIONS", "32"))
     spark = get_spark(
-        app_name=f"scale-{cores}", master=f"local[{cores}]", shuffle_partitions=cores * 2
+        app_name=f"scale-{cores}", master=f"local[{cores}]", shuffle_partitions=n_part
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    pages = generate_pages(spark, n_urls=n_urls, samples_per_url=samples)
-    points = pages_to_series(pages).repartition(cores * 4, "series_key").persist()
+    # 20s sampling: 1m buckets actually aggregate (~3 points each) and the
+    # 1h/1d cascades downsample for real (~×50/×24), matching the retention
+    # profile the rollup layer exists for.
+    interval = int(os.environ.get("SCALE_INTERVAL", "20"))
+    pages = generate_pages(spark, n_urls=n_urls, samples_per_url=samples, interval_sec=interval)
+    points = pages_to_series(pages).repartition(n_part, "series_key").persist()
     n_in = points.count()  # materialize input outside the timed window
     points.mapInPandas(lambda it: it, schema=points.schema).count()  # worker spin-up
+
+    # skew profile (untimed): series-length and partition-row distribution
+    slen = points.groupBy("series_key").count()
+    s_stats = slen.agg(
+        F.max("count").alias("mx"), F.expr("median(count)").alias("md")
+    ).collect()[0]
+    import pyspark.sql.functions as _F
+
+    prow = points.groupBy(_F.spark_partition_id().alias("p")).count()
+    p_stats = prow.agg(
+        _F.max("count").alias("mx"), _F.expr("median(count)").alias("md")
+    ).collect()[0]
 
     best = None
     for _rep in range(reps):
         d = tempfile.mkdtemp(prefix="scale_")
         try:
             t0 = time.perf_counter()
-            corrected = correct_series(points)
-            rollup(corrected, "1m").write.mode("overwrite").parquet(f"{d}/r1m")
+            correct_and_rollup(points, "1m", num_partitions=n_part).write.mode(
+                "overwrite"
+            ).parquet(f"{d}/r1m")
             t1 = time.perf_counter()
             r1m = spark.read.parquet(f"{d}/r1m")
             cascade(r1m, "1h").write.mode("overwrite").parquet(f"{d}/r1h")
@@ -120,7 +145,16 @@ def main() -> None:
                 "rolled_points_total": sum(best["tier_counts"].values()),
                 **rec,
                 "throughput_pts_per_sec": round(best["n_corrected"] / rec["work_sec"], 1),
+                "rolled_points_per_sec": round(
+                    sum(best["tier_counts"].values()) / rec["work_sec"], 1
+                ),
                 "bytes_per_point_1m": best["bpp"],
+                "n_partitions": n_part,
+                "shuffle_partitions": int(spark.conf.get("spark.sql.shuffle.partitions")),
+                "series_max_len": int(s_stats["mx"]),
+                "series_med_len": int(s_stats["md"]),
+                "part_max_rows": int(p_stats["mx"]),
+                "part_med_rows": int(p_stats["md"]),
             }
         )
     )

@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "q_dedup_exact",
     "q_token_count",
     "q_knn_cosine",
+    "q_ivf_topk",
+    "q14_promo_revenue",
     "q_rolling_stats",
     "q_interpolate_nulls",
     "q_word_overlap_pairs",

@@ -88,6 +88,75 @@ def correct_series(
     )
 
 
+def correct_and_rollup(
+    points: DataFrame,
+    tier: str = "1m",
+    config: dict[str, Any] | None = None,
+    key_col: str = "series_key",
+    time_col: str = "t",
+    value_col: str = "value",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Correction kernel FUSED with the finest rollup tier — the production
+    fast path for the pipeline's first stage.
+
+    Equivalent to ``rollup(correct_series(points), tier)`` but with a far
+    better physical plan: each series is already a time-sorted pandas frame
+    inside the kernel, so the bucket aggregation is one vectorized
+    ``groupby`` there — first/last read straight off the sort order, and the
+    job needs NO post-kernel shuffle and no JVM aggregation at all. The
+    staged form pays a second 10^12-row shuffle and, worse, its
+    ``min_by``/``max_by`` aggregates run on ObjectHashAggregate, which
+    sort-falls-back and spills on high-cardinality buckets (measured 2.2×
+    the stage time at 12.8M points).
+
+    Aggregate semantics match ``operators.rollup.rollup`` exactly: cnt/min/
+    max skip missing values, an all-missing bucket keeps a null vsum, and
+    vfirst/vlast are the bucket's first/last value in time order whether or
+    not missing (Spark's ``min_by`` does not skip nulls — ``nth``, not
+    pandas ``first``). vsum may differ from the staged form in the last ulp
+    (pairwise vs sequential float association); tests bound it.
+    """
+    from ..schema import TIER_SECONDS
+
+    sec = TIER_SECONDS[tier]
+    cfg = {**oracle.DEFAULT_CONFIG, **(config or {})}
+    if num_partitions is None:
+        num_partitions = points.sparkSession.sparkContext.defaultParallelism * 4
+
+    from ..schema import ROLLUP
+
+    def _process_partition(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        for key, grp in pdf.groupby(key_col, sort=False):
+            frame = grp[[time_col, value_col]].rename(columns={time_col: "t", value_col: "value"})
+            out = oracle.process_series(frame, "t", "value", cfg)
+            bucket = (np.floor(out["t"].to_numpy() / sec) * sec).astype("int64")
+            vals = out["value"]
+            g = vals.groupby(bucket)
+            agg = pd.DataFrame(
+                {
+                    "cnt": g.count().astype("int64"),
+                    "vsum": g.sum(min_count=1),
+                    "vmin": g.min(),
+                    "vmax": g.max(),
+                    "vfirst": g.nth(0).to_numpy(),
+                    "vlast": g.nth(-1).to_numpy(),
+                }
+            ).reset_index(names="bucket_start")
+            agg.insert(0, "series_key", key)
+            yield agg[
+                ["series_key", "bucket_start", "cnt", "vsum", "vmin", "vmax", "vfirst", "vlast"]
+            ]
+
+    return points.repartition(num_partitions, key_col).mapInPandas(
+        _process_partition, schema=ROLLUP
+    )
+
+
 def correct_series_chunked(
     points: DataFrame,
     config: dict[str, Any] | None = None,

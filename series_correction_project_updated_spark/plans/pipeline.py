@@ -19,8 +19,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.compress import bytes_per_point, compress_rollup
-from ..operators.correct import correct_series, lineage_for
-from ..operators.rollup import rollup_all_tiers
+from ..operators.correct import correct_and_rollup, lineage_for
+from ..operators.rollup import cascade
 from ..sources.synth import pages_to_series
 
 
@@ -51,16 +51,27 @@ def run_pipeline(
     t_start = time.time()
 
     points = pages_to_series(pages)
-    corrected = correct_series(points, cfg.correction, num_partitions=cfg.n_buckets)
-    corrected = corrected.persist()
-    n_corrected = corrected.count()
 
+    # Finest tier comes out of the kernel FUSED (correct_and_rollup): one
+    # shuffle, no post-kernel JVM aggregation, no persist of the raw
+    # corrected points. Coarser tiers cascade from the sink (each read is
+    # ~60× smaller than raw).
     tier_counts: dict[str, int] = {}
-    tiers = rollup_all_tiers(corrected)
-    for name in cfg.tiers:
+    tiers: dict[str, DataFrame] = {}
+    finest = cfg.tiers[0]
+    r_fine = correct_and_rollup(points, finest, cfg.correction, num_partitions=cfg.n_buckets)
+    fine_path = os.path.join(out_dir, f"rollup_{finest}")
+    r_fine.write.mode("overwrite").parquet(fine_path)
+    lower = spark.read.parquet(fine_path)
+    tiers[finest] = lower
+    tier_counts[finest] = lower.count()
+    n_corrected = int(lower.agg(F.sum("cnt")).collect()[0][0] or 0)
+    for name in cfg.tiers[1:]:
         path = os.path.join(out_dir, f"rollup_{name}")
-        tiers[name].write.mode("overwrite").parquet(path)
-        tier_counts[name] = spark.read.parquet(path).count()
+        cascade(lower, name).write.mode("overwrite").parquet(path)
+        lower = spark.read.parquet(path)
+        tiers[name] = lower
+        tier_counts[name] = lower.count()
 
     comp = compress_rollup(tiers[cfg.compress_tier], cfg.compress_tier, cfg.compress_value_col)
     comp_path = os.path.join(out_dir, f"compressed_{cfg.compress_tier}")
@@ -81,7 +92,6 @@ def run_pipeline(
         metrics_rows, "job_id string, partition_key string, status string, records long, wall_sec double"
     ).write.mode("append").parquet(os.path.join(out_dir, "metrics"))
 
-    corrected.unpersist()
     total_rolled = sum(tier_counts.values())
     return {
         "job_id": job_id,

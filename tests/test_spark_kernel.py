@@ -162,3 +162,22 @@ def test_series_plan_prunes_html(spark):
         read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln or "struct<" in ln]
         assert read_schema, plan
         assert all("html" not in ln for ln in read_schema), plan
+
+
+def test_fused_correct_and_rollup_matches_staged(spark):
+    """correct_and_rollup == rollup(correct_series(...)): exact on
+    cnt/min/max/first/last, vsum within float-association tolerance."""
+    from series_correction_project_updated_spark.operators.correct import (
+        correct_and_rollup,
+        correct_series,
+    )
+    from series_correction_project_updated_spark.operators.rollup import rollup
+
+    pts = pages_to_series(generate_pages(spark, n_urls=40, samples_per_url=240, interval_sec=20))
+    key = ["series_key", "bucket_start"]
+    a = rollup(correct_series(pts), "1m").orderBy(*key).toPandas()
+    b = correct_and_rollup(pts, "1m").orderBy(*key).toPandas()
+    assert len(a) == len(b) and len(a) > 0
+    for c in ["series_key", "bucket_start", "cnt", "vmin", "vmax", "vfirst", "vlast"]:
+        pd.testing.assert_series_equal(a[c], b[c], check_dtype=False)
+    np.testing.assert_allclose(a["vsum"].to_numpy(), b["vsum"].to_numpy(), rtol=1e-12)
