@@ -83,6 +83,8 @@ def main() -> None:
     probes: list[float] = []
     for rep in range(reps):
         for cores in (n, 4 * n):
+            time.sleep(int(os.environ.get("SCALE_SETTLE_SEC", "60")))  # let the
+            # previous JVM's teardown and page-cache flush drain before probing
             p = cpu_probe(n)
             probes.append(p[4 * n])  # absolute 4N-proc iters/s = steal signal
             rec = run_worker(cores, n_urls, samples)

@@ -86,6 +86,14 @@ def main() -> None:
     rolled = {name: _drain(df) for name, df in tiers.items()}
     t_rollup = time.perf_counter() - t0
 
+    # fused production path: correction + 1m tier in ONE kernel pass
+    from series_correction_project_updated_spark.operators.correct import correct_and_rollup
+
+    t0 = time.perf_counter()
+    n_fused = correct_and_rollup(pts, "1m").count()
+    t_fused = time.perf_counter() - t0
+    timings["pipeline_fused_correct_1m"] = round(t_fused, 3)
+
     t0 = time.perf_counter()
     comp = compress_rollup(tiers["1m"], "1m")
     comp.cache()
@@ -124,6 +132,8 @@ def main() -> None:
                     "corrected_points": n_points,
                     "corrected_points_per_sec": round(n_points / t_correct, 1),
                     "compressed_bytes_per_point_1m": round(bpp, 3) if bpp else None,
+                    "fused_rolled_points_1m": n_fused,
+                    "fused_rolled_points_per_sec": round(n_fused / t_fused, 1),
                     "cpus": cpus,
                 },
             }
