@@ -9,7 +9,7 @@ training-data-pipeline ops a 100 TB corpus needs. Four tiers:
                  Leskovec/Rajaraman/Ullman "Mining of Massive Datasets" ch.3)
 3. SimHash    — 64-bit weighted-bit signature (Charikar 2002), banded
 4. n-gram Jaccard — exact verify step for LSH candidates
-                 (queries.q_word_overlap_pairs does the 1-gram variant)
+                 (queries.q_word_overlap_pairs does the 3-gram variant with a df cap)
 
 Everything except the SimHash bit-fold is pure built-in Spark (shingling via
 ``transform``/``sequence`` array lambdas, hashing via ``xxhash64`` — all

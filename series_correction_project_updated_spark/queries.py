@@ -545,12 +545,29 @@ FROM documents GROUP BY source ORDER BY source
 
 
 def q_word_overlap_pairs(spark, sf_dir):
-    """N-gram (1-gram) Jaccard near-dup candidates via shingle explode +
-    self-join — the scale path for MinHash banding (dedup op)."""
-    docs = load(spark, sf_dir, "documents")
-    words = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))).alias("w")
+    """3-gram shingle Jaccard near-dup candidates via shingle explode +
+    self-join — the exact-verify counterpart to MinHash banding (dedup op,
+    same shingling as operators.dedup.shingles_from_words).
+
+    1-grams are useless on this corpus (31-word vocabulary, every word in
+    ~78% of docs — and the all-pairs explosion cost 174s at sf0.1); 3-gram
+    shingles make sharing combinatorial. Shingles in >100 docs are dropped
+    before the self-join (boilerplate guard). The corpus has no near-dups,
+    so suffixed copies of every 20th doc are planted deterministically —
+    each shares all its original\'s shingles."""
+    from .operators.dedup import shingles_from_words
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = docs.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" zqx1 zqx2 zqx3")).alias("text"),
     )
+    docs = docs.unionByName(variants)
+    words = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws")
+    ).select("doc_id", F.explode(F.array_distinct(shingles_from_words("ws", 3))).alias("w"))
+    rare = words.groupBy("w").agg(F.count("*").alias("df")).where(F.col("df") <= 100)
+    words = words.join(rare.select("w"), "w")
     sizes = words.groupBy("doc_id").agg(F.count("*").alias("nw"))
     a = words.alias("a")
     b = words.alias("b")
@@ -558,7 +575,7 @@ def q_word_overlap_pairs(spark, sf_dir):
         a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("shared"))
-        .where(F.col("shared") >= 30)
+        .where(F.col("shared") >= 10)
     )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
@@ -575,15 +592,23 @@ def q_word_overlap_pairs(spark, sf_dir):
         )
         .orderBy("doc_a", "doc_b")
     )
-
-
 SQL_WORD_OVERLAP = r"""
-WITH words AS (SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS w
-               FROM documents),
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' zqx1 zqx2 zqx3' FROM documents WHERE doc_id % 20 = 0),
+toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM docs),
+words0 AS (SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(ws) >= 3
+                  THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] FOR i IN range(1, len(ws) - 1)]
+                  ELSE [array_to_string(ws, ' ')] END)) AS w
+           FROM toks),
+rare AS (SELECT w FROM words0 GROUP BY w HAVING count(*) <= 100),
+words AS (SELECT doc_id, words0.w AS w FROM words0 JOIN rare ON words0.w = rare.w),
 sizes AS (SELECT doc_id, count(*) AS nw FROM words GROUP BY doc_id),
 pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
           FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id
-          GROUP BY 1, 2 HAVING count(*) >= 30)
+          GROUP BY 1, 2 HAVING count(*) >= 10)
 SELECT doc_a, doc_b, shared,
        round(CAST(shared AS DOUBLE) / (sa.nw + sb.nw - shared), 4) AS jaccard
 FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
