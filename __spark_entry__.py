@@ -21,10 +21,11 @@ from series_correction_project_updated_spark.queries import REGISTRY  # noqa: E4
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: correct the sf0.001 event series with the Arrow kernel,
-    roll up to the 1h tier, return the tier table."""
-    from series_correction_project_updated_spark.operators.correct import correct_series
-    from series_correction_project_updated_spark.operators.rollup import rollup_all_tiers
+    """Flagship: correct the sf0.001 event series with the Arrow kernel
+    FUSED with the 1m tier (one shuffle, no JVM agg), cascade to 1h,
+    return the tier table."""
+    from series_correction_project_updated_spark.operators.correct import correct_and_rollup
+    from series_correction_project_updated_spark.operators.rollup import cascade
     from pyspark.sql import functions as F
 
     sf_dir = "/root/testdata/sf0.001"
@@ -34,8 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
         (F.unix_millis(F.col("ts").cast("timestamp")) / 1000.0).alias("t"),
         "value",
     )
-    corrected = correct_series(pts)
-    return rollup_all_tiers(corrected)["1h"]
+    return cascade(correct_and_rollup(pts, "1m"), "1h")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
