@@ -1067,8 +1067,53 @@ def q_ivf_topk(spark, sf_dir):
     )
 
 
+def _langid_sql() -> str:
+    """DuckDB oracle for q_langid. Mirrors operators.textops.langid_heuristic
+    exactly: stopword-hit ratio per language over whitespace-split lowered
+    tokens, argmax with FIRST-wins tie-break (the Spark loop only replaces on
+    strictly-greater), CJK-codepoint ratio > 0.2 forces zh, all-zero scores
+    -> 'und'. Output is an integer confusion matrix, so no float hashing."""
+    from .operators.textops import _STOPWORDS
+
+    ratios = []
+    for lang, sw in _STOPWORDS.items():
+        inlist = ", ".join(f"'{w}'" for w in sw)
+        ratios.append(
+            f"len(list_filter(toks, w -> w IN ({inlist})))"
+            f" / greatest(len(toks), 1)::DOUBLE AS s_{lang}"
+        )
+    langs = list(_STOPWORDS)  # en, de, fr, es — Spark iteration order
+    # first-wins argmax cascade: lang_i wins iff s_i >= every later score
+    # (an earlier lang with an equal-or-greater score was already taken)
+    branches = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"s_{lang} >= s_{o}" for o in langs[i + 1 :])
+        branches.append(f"WHEN {conds} THEN '{lang}'")
+    argmax = "CASE " + " ".join(branches) + f" ELSE '{langs[-1]}' END"
+    best = ", ".join(f"s_{lang}" for lang in langs)
+    return f"""
+WITH scored AS (
+  SELECT lang,
+         {', '.join(ratios)},
+         length(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g'))
+           / greatest(length(text), 1)::DOUBLE AS cjk
+  FROM (SELECT lang, text,
+               string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents)
+), pred AS (
+  SELECT lang,
+         CASE WHEN cjk > 0.2 THEN 'zh'
+              WHEN greatest({best}) > 0.0 THEN {argmax}
+              ELSE 'und' END AS lang_pred
+  FROM scored
+)
+SELECT lang, lang_pred, count(*) AS cnt FROM pred
+GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+"""
+
+
 def q_langid(spark, sf_dir):
-    """Heuristic n-gram language ID vs the labeled lang column (rows-only)."""
+    """Heuristic n-gram language ID vs the labeled lang column."""
     from .operators.textops import langid_heuristic
 
     docs = load(spark, sf_dir, "documents")
@@ -1121,7 +1166,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q_correct_chunked": (q_correct_chunked, None),
     "q_minhash_pairs": (q_minhash_pairs, None),
     "q_simhash_buckets": (q_simhash_buckets, None),
-    "q_langid": (q_langid, None),
+    "q_langid": (q_langid, _langid_sql()),
     "q_fingerprint_dups": (q_fingerprint_dups, None),
     "q_embedding_near_dup": (q_embedding_near_dup, None),
     "q_ivf_topk": (q_ivf_topk, None),
