@@ -422,7 +422,7 @@ z AS (SELECT e.user_id, e.value, m.gmedian,
              0.6745 * abs(e.value - m.gmedian) / d.gmad AS zscore
       FROM events e JOIN med m ON e.user_id = m.user_id JOIN mad d ON e.user_id = d.user_id)
 SELECT user_id,
-       sum(CASE WHEN zscore > 3.0 THEN 1 ELSE 0 END) AS n_outliers,
+       CAST(sum(CASE WHEN zscore > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
        round(sum(CASE WHEN zscore > 3.0 THEN gmedian ELSE value END), 4) AS corrected_sum
 FROM z GROUP BY user_id ORDER BY user_id
 """
@@ -512,7 +512,7 @@ def q_token_count(spark, sf_dir):
 
 SQL_TOKEN_COUNT = r"""
 SELECT lang, count(*) AS n_docs,
-       sum(len(string_split_regex(trim(text), '\s+'))) AS total_tokens,
+       CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
        round(avg(len(string_split_regex(trim(text), '\s+'))), 6) AS avg_tokens
 FROM documents GROUP BY lang ORDER BY lang
 """
@@ -763,7 +763,9 @@ def q_group_collect(spark, sf_dir):
         nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
         .agg(
-            F.sort_array(F.collect_list("n_name")).alias("nations"),
+            # Stringified (not array-typed) so the driver's canonicalizer can
+            # hash the column; the sorted-list semantics are unchanged.
+            F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations"),
             F.count("*").alias("n_nations"),
         )
         .orderBy("r_name")
@@ -771,7 +773,7 @@ def q_group_collect(spark, sf_dir):
 
 
 SQL_GROUP_COLLECT = """
-SELECT r_name, list_sort(list(n_name)) AS nations, count(*) AS n_nations
+SELECT r_name, array_to_string(list_sort(list(n_name)), ',') AS nations, count(*) AS n_nations
 FROM nation JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name ORDER BY r_name
 """
@@ -896,7 +898,7 @@ def q_token_bpe(spark, sf_dir):
 
 SQL_TOKEN_BPE = r"""
 SELECT lang, count(*) AS n_docs,
-       sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS total_bpe_tokens,
+       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_bpe_tokens,
        round(avg(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))), 6) AS avg_bpe_tokens
 FROM documents GROUP BY lang ORDER BY lang
 """

@@ -25,6 +25,24 @@ def ddb():
     return con
 
 
+def _kinds(df: pd.DataFrame) -> list:
+    """Coarse dtype kind per column ('i', 'f', 'b', 'O', 'M', ...).
+
+    The driver's canonicalizer hashes values WITHOUT cross-kind coercion, so
+    a Spark bigint vs a DuckDB HUGEINT-as-float mismatch (e.g. 3549 vs
+    3549.0) is a driver FAIL. This gate must be exactly as strict — do not
+    normalize int/float drift away (VERDICT r01 'What's wrong' #2)."""
+    out = []
+    for c in df.columns:
+        k = df[c].dtype.kind
+        if str(df[c].dtype) == "boolean":
+            k = "b"
+        elif str(df[c].dtype).startswith(("Int", "UInt")):
+            k = "i"
+        out.append("i" if k == "u" else k)
+    return out
+
+
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -48,8 +66,13 @@ ROWS_ONLY = [name for name, (_f, sql) in REGISTRY.items() if sql is None]
 @pytest.mark.parametrize("name", SQL_BACKED)
 def test_query_matches_oracle(spark, ddb, name):
     fn, sql = REGISTRY[name]
-    got = _normalize(fn(spark, SF_DIR).toPandas())
-    want = _normalize(ddb.sql(sql).df())
+    got_raw = fn(spark, SF_DIR).toPandas()[lambda d: sorted(d.columns)]
+    want_raw = ddb.sql(sql).df()[lambda d: sorted(d.columns)]
+    assert _kinds(got_raw) == _kinds(want_raw), (
+        f"{name}: dtype-kind mismatch {list(zip(got_raw.columns, _kinds(got_raw), _kinds(want_raw)))}"
+    )
+    got = _normalize(got_raw)
+    want = _normalize(want_raw)
     assert list(got.columns) == list(want.columns), f"{name}: column mismatch"
     assert len(got) == len(want), f"{name}: row count {len(got)} vs {len(want)}"
     pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=0, rtol=0)
