@@ -10,14 +10,17 @@ oracle (``oracle/correction.py``) — Arrow-vectorized, zero per-row Python.
 Scale notes (100 TB / 10^12 rows):
 - Shuffle: exactly ONE hash shuffle on ``series_key``; everything downstream
   (rollups) re-uses that clustering where possible.
-- Skew: a hot url can dwarf others. ``correct_series`` supports year-chunking
-  (``chunk_rows``): long series are split into bounded chunks with
-  ``overlap`` rows of context, mirroring the reference's own decomposition —
-  it processes year-files independently, then aligns boundaries with level
-  shifts (scripts/apply_refined_corrections.py). Chunk boundaries are
-  realigned the same way by ``operators/level_shift.py``.
-- Memory: each group materializes one pandas frame; with chunking the bound
-  is ``chunk_rows``, independent of series length.
+- Skew: a hot url can dwarf others. ``correct_series_chunked`` splits long
+  series into fixed TIME chunks (default 1 year, mirroring the reference's
+  own year-file decomposition) processed independently, then realigns chunk
+  boundaries with level shifts (scripts/apply_refined_corrections.py) via
+  ``operators/level_shift.py``.
+- Memory: ``correct_series`` concatenates each PARTITION into one pandas
+  frame, so its memory bound is partition size — size ``num_partitions`` so
+  rows_total/num_partitions fits comfortably in an executor's Python worker
+  (the default 4×parallelism gives ~32 MB frames at sf0.1; scale it with
+  input rows). For series too hot for any partition budget, use
+  ``correct_series_chunked``, whose bound is rows-per-(series, time-chunk).
 - Null vs NaN: Spark nulls become NaN inside Arrow (doubles) — the oracle is
   NaN-native, and output NaN maps back to NULL-free doubles or null as-is.
 """
@@ -117,14 +120,12 @@ def correct_and_rollup(
     pandas ``first``). vsum may differ from the staged form in the last ulp
     (pairwise vs sequential float association); tests bound it.
     """
-    from ..schema import TIER_SECONDS
+    from ..schema import ROLLUP, TIER_SECONDS
 
     sec = TIER_SECONDS[tier]
     cfg = {**oracle.DEFAULT_CONFIG, **(config or {})}
     if num_partitions is None:
         num_partitions = points.sparkSession.sparkContext.defaultParallelism * 4
-
-    from ..schema import ROLLUP
 
     def _process_partition(batches):
         chunks = list(batches)
@@ -134,26 +135,95 @@ def correct_and_rollup(
         for key, grp in pdf.groupby(key_col, sort=False):
             frame = grp[[time_col, value_col]].rename(columns={time_col: "t", value_col: "value"})
             out = oracle.process_series(frame, "t", "value", cfg)
-            bucket = (np.floor(out["t"].to_numpy() / sec) * sec).astype("int64")
-            vals = out["value"]
-            g = vals.groupby(bucket)
-            agg = pd.DataFrame(
-                {
-                    "cnt": g.count().astype("int64"),
-                    "vsum": g.sum(min_count=1),
-                    "vmin": g.min(),
-                    "vmax": g.max(),
-                    "vfirst": g.nth(0).to_numpy(),
-                    "vlast": g.nth(-1).to_numpy(),
-                }
-            ).reset_index(names="bucket_start")
-            agg.insert(0, "series_key", key)
-            yield agg[
-                ["series_key", "bucket_start", "cnt", "vsum", "vmin", "vmax", "vfirst", "vlast"]
-            ]
+            yield _bucket_rollup(out, key, sec)
 
     return points.repartition(num_partitions, key_col).mapInPandas(
         _process_partition, schema=ROLLUP
+    )
+
+
+def _bucket_rollup(out: pd.DataFrame, key, sec: int) -> pd.DataFrame:
+    """Vectorized tier aggregation of one corrected series frame (already
+    time-sorted by the kernel, so vfirst/vlast read straight off the order)."""
+    bucket = (np.floor(out["t"].to_numpy() / sec) * sec).astype("int64")
+    vals = out["value"]
+    g = vals.groupby(bucket)
+    agg = pd.DataFrame(
+        {
+            "cnt": g.count().astype("int64"),
+            "vsum": g.sum(min_count=1),
+            "vmin": g.min(),
+            "vmax": g.max(),
+            "vfirst": g.nth(0).to_numpy(),
+            "vlast": g.nth(-1).to_numpy(),
+        }
+    ).reset_index(names="bucket_start")
+    agg.insert(0, "series_key", key)
+    return agg[["series_key", "bucket_start", "cnt", "vsum", "vmin", "vmax", "vfirst", "vlast"]]
+
+
+def correct_rollup_lineage(
+    points: DataFrame,
+    tier: str = "1m",
+    config: dict[str, Any] | None = None,
+    key_col: str = "series_key",
+    time_col: str = "t",
+    value_col: str = "value",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``correct_and_rollup`` that ALSO emits per-series lineage rows from
+    the SAME kernel execution — rollup and lineage in one pass over raw
+    points, instead of ``lineage_for`` re-running the detectors in a second
+    full pass (the pipeline's dominant stage, previously executed twice).
+
+    Output is a union-typed table discriminated by ``row_kind``:
+    ``'rollup'`` rows carry the ROLLUP columns (lineage columns null),
+    ``'lineage'`` rows carry the LINEAGE columns (rollup columns null).
+    Callers split with a filter; written ``partitionBy('row_kind')`` the
+    split is a pruned directory read, not a scan.
+    """
+    from ..schema import ROLLUP_WITH_LINEAGE, TIER_SECONDS
+
+    sec = TIER_SECONDS[tier]
+    cfg = {**oracle.DEFAULT_CONFIG, **(config or {})}
+    if num_partitions is None:
+        num_partitions = points.sparkSession.sparkContext.defaultParallelism * 4
+
+    roll_cols = ["bucket_start", "cnt", "vsum", "vmin", "vmax", "vfirst", "vlast"]
+    lin_cols = ["step", "n_detected", "n_rows_in", "n_rows_out", "detail"]
+    out_cols = ["series_key"] + roll_cols + lin_cols + ["row_kind"]
+
+    def _process_partition(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        for key, grp in pdf.groupby(key_col, sort=False):
+            frame = grp[[time_col, value_col]].rename(columns={time_col: "t", value_col: "value"})
+            out, stats = oracle.process_series_with_stats(frame, "t", "value", cfg)
+            agg = _bucket_rollup(out, key, sec)
+            # the absent side's columns get explicit dtypes (nullable Int64 /
+            # float64 / object) so the concat is dtype-stable
+            agg["step"] = None
+            for c in ("n_detected", "n_rows_in", "n_rows_out"):
+                agg[c] = pd.array([None] * len(agg), dtype="Int64")
+            agg["detail"] = None
+            agg["row_kind"] = "rollup"
+            lin = pd.DataFrame(
+                [(key, s, int(d), int(i), int(o), det) for s, d, i, o, det in stats],
+                columns=["series_key"] + lin_cols,
+            )
+            for c in ("n_detected", "n_rows_in", "n_rows_out"):
+                lin[c] = lin[c].astype("Int64")
+            for c in ("bucket_start", "cnt"):
+                lin[c] = pd.array([None] * len(lin), dtype="Int64")
+            for c in ("vsum", "vmin", "vmax", "vfirst", "vlast"):
+                lin[c] = np.nan
+            lin["row_kind"] = "lineage"
+            yield pd.concat([agg[out_cols], lin[out_cols]], ignore_index=True)
+
+    return points.repartition(num_partitions, key_col).mapInPandas(
+        _process_partition, schema=ROLLUP_WITH_LINEAGE
     )
 
 
@@ -278,7 +348,9 @@ def lineage_for(points: DataFrame, config: dict[str, Any] | None = None) -> Data
 
     Mirrors the reference's correction-log record
     (scripts/apply_refined_corrections.py:185-194) at series granularity.
-    Runs the detectors (not the corrections) inside the same Arrow kernel.
+    Standalone lineage-only job; the PIPELINE does not use this — it gets
+    the identical rows for free from ``correct_rollup_lineage``'s single
+    kernel pass (same ``process_series_with_stats`` underneath).
     """
     from ..schema import LINEAGE
 
@@ -286,23 +358,10 @@ def lineage_for(points: DataFrame, config: dict[str, Any] | None = None) -> Data
 
     def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         key = pdf["series_key"].iloc[0]
-        frame = pdf[["t", "value"]].sort_values("t").reset_index(drop=True)
-        n_in = len(frame)
-        rows = []
-        gaps = oracle.detect_gaps(frame["t"].to_numpy(), cfg["gap_threshold_factor"])
-        cur = frame
-        if gaps:
-            cur = oracle.correct_gaps(cur, gaps, "t", ["value"], cfg["gap_method"])
-            cur = cur.sort_values("t").reset_index(drop=True)
-        rows.append(("gaps", len(gaps), n_in, len(cur), f"inserted={len(cur) - n_in}"))
-        outl = oracle.detect_outliers(cur["value"].to_numpy(), cfg["window_size"], cfg["threshold"])
-        if outl:
-            cur = oracle.correct_outliers(cur, outl, "value", cfg["window_size"], cfg["outlier_method"])
-        rows.append(("outliers", len(outl), len(cur), len(cur), ""))
-        jumps = oracle.detect_jumps(cur["value"].to_numpy(), cfg["window_size"], cfg["threshold"])
-        rows.append(("jumps", len(jumps), len(cur), len(cur), ""))
+        frame = pdf[["t", "value"]]
+        _out, stats = oracle.process_series_with_stats(frame, "t", "value", cfg)
         return pd.DataFrame(
-            [(key, s, int(d), int(i), int(o), det) for s, d, i, o, det in rows],
+            [(key, s, int(d), int(i), int(o), det) for s, d, i, o, det in stats],
             columns=["series_key", "step", "n_detected", "n_rows_in", "n_rows_out", "detail"],
         )
 

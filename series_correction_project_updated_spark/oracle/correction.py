@@ -333,6 +333,45 @@ def correct_jumps(
 # ---------------------------------------------------------------------------
 
 
+def process_series_with_stats(
+    df: pd.DataFrame,
+    time_col: str,
+    value_col: str,
+    config: dict[str, Any] | None = None,
+) -> tuple[pd.DataFrame, list[tuple[str, int, int, int, str]]]:
+    """``process_series`` that ALSO returns per-step lineage stats from the
+    same execution, so callers never need a second detector pass.
+
+    Stats rows are ``(step, n_detected, n_rows_in, n_rows_out, detail)`` in
+    pipeline order (gaps, outliers, jumps) — the reference's correction-log
+    record at series granularity (scripts/apply_refined_corrections.py:185-194).
+    """
+    cfg = {**DEFAULT_CONFIG, **(config or {})}
+    data = df.sort_values(by=time_col).reset_index(drop=True)
+    n_in = len(data)
+
+    gaps = detect_gaps(data[time_col].to_numpy(), cfg["gap_threshold_factor"])
+    if gaps:
+        data = correct_gaps(data, gaps, time_col, [value_col], cfg["gap_method"])
+        data = data.sort_values(by=time_col).reset_index(drop=True)
+    n_after_gaps = len(data)
+    stats = [("gaps", len(gaps), n_in, n_after_gaps, f"inserted={n_after_gaps - n_in}")]
+
+    outliers = detect_outliers(
+        data[value_col].astype(float).to_numpy(), cfg["window_size"], cfg["threshold"]
+    )
+    if outliers:
+        data = correct_outliers(data, outliers, value_col, cfg["window_size"], cfg["outlier_method"])
+    stats.append(("outliers", len(outliers), n_after_gaps, len(data), ""))
+
+    jumps = detect_jumps(data[value_col].to_numpy(), cfg["window_size"], cfg["threshold"])
+    if jumps:
+        data = correct_jumps(data, jumps, value_col, cfg["window_size"])
+    stats.append(("jumps", len(jumps), len(data), len(data), ""))
+
+    return data, stats
+
+
 def process_series(
     df: pd.DataFrame,
     time_col: str,
@@ -346,22 +385,5 @@ def process_series(
     detector sees the PREVIOUS step's output frame; only the gap step
     re-sorts. Reference: scripts/processor.py:484-572.
     """
-    cfg = {**DEFAULT_CONFIG, **(config or {})}
-    data = df.sort_values(by=time_col).reset_index(drop=True)
-
-    gaps = detect_gaps(data[time_col].to_numpy(), cfg["gap_threshold_factor"])
-    if gaps:
-        data = correct_gaps(data, gaps, time_col, [value_col], cfg["gap_method"])
-        data = data.sort_values(by=time_col).reset_index(drop=True)
-
-    outliers = detect_outliers(
-        data[value_col].astype(float).to_numpy(), cfg["window_size"], cfg["threshold"]
-    )
-    if outliers:
-        data = correct_outliers(data, outliers, value_col, cfg["window_size"], cfg["outlier_method"])
-
-    jumps = detect_jumps(data[value_col].to_numpy(), cfg["window_size"], cfg["threshold"])
-    if jumps:
-        data = correct_jumps(data, jumps, value_col, cfg["window_size"])
-
+    data, _stats = process_series_with_stats(df, time_col, value_col, config)
     return data

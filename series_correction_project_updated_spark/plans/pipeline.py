@@ -19,8 +19,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.compress import bytes_per_point, compress_rollup
-from ..operators.correct import correct_and_rollup, lineage_for
+from ..operators.correct import correct_and_rollup, correct_rollup_lineage
 from ..operators.rollup import cascade
+from ..schema import LINEAGE, ROLLUP, TIER_SECONDS
 from ..sources.synth import pages_to_series
 
 
@@ -50,21 +51,60 @@ def run_pipeline(
     job_id = job_id or uuid.uuid4().hex[:12]
     t_start = time.time()
 
+    # The coarser-tier cascade below derives each tier from the previous
+    # one, which is only sound for nested tiers ordered finest→coarsest.
+    secs = [TIER_SECONDS[t] for t in cfg.tiers]
+    for prev, nxt in zip(secs, secs[1:]):
+        if nxt <= prev or nxt % prev != 0:
+            raise ValueError(
+                f"cfg.tiers must be finest-to-coarsest with each tier an exact "
+                f"multiple of the previous; got {cfg.tiers} ({secs}s)"
+            )
+
     points = pages_to_series(pages)
 
-    # Finest tier comes out of the kernel FUSED (correct_and_rollup): one
-    # shuffle, no post-kernel JVM aggregation, no persist of the raw
-    # corrected points. Coarser tiers cascade from the sink (each read is
-    # ~60× smaller than raw).
+    # Finest tier comes out of the kernel FUSED: one shuffle, no post-kernel
+    # JVM aggregation, no persist of the raw corrected points. With lineage
+    # enabled, lineage rows come out of the SAME kernel execution
+    # (correct_rollup_lineage) — the expensive raw-point pass runs exactly
+    # once, and the row_kind partitioning makes the rollup/lineage split a
+    # pruned directory read. Coarser tiers cascade from the sink (each read
+    # is ~60× smaller than raw).
     tier_counts: dict[str, int] = {}
     tiers: dict[str, DataFrame] = {}
     finest = cfg.tiers[0]
-    r_fine = correct_and_rollup(points, finest, cfg.correction, num_partitions=cfg.n_buckets)
     fine_path = os.path.join(out_dir, f"rollup_{finest}")
-    r_fine.write.mode("overwrite").parquet(fine_path)
+    corrected_rows = None
+    if cfg.emit_lineage:
+        fused = correct_rollup_lineage(points, finest, cfg.correction, num_partitions=cfg.n_buckets)
+        fused_path = os.path.join(out_dir, f"fused_{finest}")
+        fused.write.mode("overwrite").partitionBy("row_kind").parquet(fused_path)
+        fused_sink = spark.read.parquet(fused_path)
+        lineage = fused_sink.where(F.col("row_kind") == "lineage").select(
+            *[f.name for f in LINEAGE.fields]
+        )
+        lineage.write.mode("overwrite").parquet(os.path.join(out_dir, "lineage"))
+        lower = fused_sink.where(F.col("row_kind") == "rollup").select(
+            *[f.name for f in ROLLUP.fields]
+        )
+        lower.write.mode("overwrite").parquet(fine_path)
+        # Row count INCLUDING null-valued rows (e.g. all-NaN series that
+        # interpolation cannot fill): the kernel's post-gap row count.
+        corrected_rows = int(
+            spark.read.parquet(os.path.join(out_dir, "lineage"))
+            .where(F.col("step") == "gaps")
+            .agg(F.sum("n_rows_out"))
+            .collect()[0][0]
+            or 0
+        )
+    else:
+        r_fine = correct_and_rollup(points, finest, cfg.correction, num_partitions=cfg.n_buckets)
+        r_fine.write.mode("overwrite").parquet(fine_path)
     lower = spark.read.parquet(fine_path)
     tiers[finest] = lower
     tier_counts[finest] = lower.count()
+    # NOTE: counts non-null corrected VALUES (sum of tier cnt), not rows —
+    # rows of an all-NaN series are excluded; see corrected_rows for rows.
     n_corrected = int(lower.agg(F.sum("cnt")).collect()[0][0] or 0)
     for name in cfg.tiers[1:]:
         path = os.path.join(out_dir, f"rollup_{name}")
@@ -79,11 +119,6 @@ def run_pipeline(
     bpp = bytes_per_point(spark.read.parquet(comp_path)).collect()
     bytes_point = float(bpp[0]["bytes_per_point"]) if bpp else None
 
-    if cfg.emit_lineage:
-        lineage_for(points, cfg.correction).write.mode("overwrite").parquet(
-            os.path.join(out_dir, "lineage")
-        )
-
     wall = time.time() - t_start
     metrics_rows = [
         (job_id, "all", "Processed", int(n_corrected), float(wall)),
@@ -96,6 +131,7 @@ def run_pipeline(
     return {
         "job_id": job_id,
         "corrected_points": n_corrected,
+        "corrected_rows": corrected_rows,
         "tier_counts": tier_counts,
         "rolled_points_total": total_rolled,
         "rolled_points_per_sec": total_rolled / wall if wall > 0 else None,

@@ -73,6 +73,28 @@ LINEAGE = T.StructType(
     ]
 )
 
+#: Union-typed single-pass output of ``correct_rollup_lineage``: ``row_kind``
+#: discriminates ROLLUP rows from LINEAGE rows (the other side's columns are
+#: null). Everything except the key and discriminator is nullable by design.
+ROLLUP_WITH_LINEAGE = T.StructType(
+    [
+        T.StructField("series_key", T.StringType(), False),
+        T.StructField("bucket_start", T.LongType(), True),
+        T.StructField("cnt", T.LongType(), True),
+        T.StructField("vsum", T.DoubleType(), True),
+        T.StructField("vmin", T.DoubleType(), True),
+        T.StructField("vmax", T.DoubleType(), True),
+        T.StructField("vfirst", T.DoubleType(), True),
+        T.StructField("vlast", T.DoubleType(), True),
+        T.StructField("step", T.StringType(), True),
+        T.StructField("n_detected", T.LongType(), True),
+        T.StructField("n_rows_in", T.LongType(), True),
+        T.StructField("n_rows_out", T.LongType(), True),
+        T.StructField("detail", T.StringType(), True),
+        T.StructField("row_kind", T.StringType(), False),
+    ]
+)
+
 #: Metrics: per-partition/job processing summary (reference batch summary analog).
 METRICS = T.StructType(
     [

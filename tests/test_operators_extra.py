@@ -275,3 +275,63 @@ def test_streaming_rollup_matches_batch(spark, tmp_path):
     mism = joined.where(F.col("cnt") != F.col("cnt_b")).count()
     assert mism == 0
     assert got.count() > 0
+
+
+# --- fused rollup+lineage single-pass kernel ----------------------------------
+
+
+def test_fused_rollup_lineage_matches_staged(spark):
+    from series_correction_project_updated_spark.operators.correct import (
+        correct_and_rollup,
+        correct_rollup_lineage,
+        lineage_for,
+    )
+    from series_correction_project_updated_spark.sources.synth import (
+        generate_pages,
+        pages_to_series,
+    )
+
+    points = pages_to_series(generate_pages(spark, n_urls=8, samples_per_url=120))
+    fused = correct_rollup_lineage(points, "1m", num_partitions=8).toPandas()
+
+    roll_cols = ["series_key", "bucket_start", "cnt", "vsum", "vmin", "vmax", "vfirst", "vlast"]
+    lin_cols = ["series_key", "step", "n_detected", "n_rows_in", "n_rows_out", "detail"]
+    got_roll = (
+        fused[fused.row_kind == "rollup"][roll_cols]
+        .astype({"bucket_start": "int64", "cnt": "int64"})
+        .sort_values(roll_cols[:2])
+        .reset_index(drop=True)
+    )
+    got_lin = (
+        fused[fused.row_kind == "lineage"][lin_cols]
+        .astype({c: "int64" for c in ("n_detected", "n_rows_in", "n_rows_out")})
+        .sort_values(["series_key", "step"])
+        .reset_index(drop=True)
+    )
+
+    want_roll = (
+        correct_and_rollup(points, "1m", num_partitions=8)
+        .toPandas()
+        .sort_values(roll_cols[:2])
+        .reset_index(drop=True)
+    )
+    want_lin = (
+        lineage_for(points).toPandas().sort_values(["series_key", "step"]).reset_index(drop=True)
+    )
+
+    pd.testing.assert_frame_equal(got_roll, want_roll, check_dtype=False)
+    pd.testing.assert_frame_equal(got_lin, want_lin, check_dtype=False)
+
+
+def test_pipeline_rejects_non_nested_tiers(spark, tmp_path):
+    from series_correction_project_updated_spark.plans.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+    )
+    from series_correction_project_updated_spark.sources.synth import generate_pages
+
+    pages = generate_pages(spark, n_urls=2, samples_per_url=10)
+    with pytest.raises(ValueError, match="finest-to-coarsest"):
+        run_pipeline(
+            spark, pages, str(tmp_path / "bad"), PipelineConfig(tiers=("1h", "1m"))
+        )
