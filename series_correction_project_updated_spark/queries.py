@@ -979,7 +979,9 @@ def q_minhash_pairs(spark, sf_dir):
     from .operators.dedup import minhash_candidate_pairs
 
     docs = load(spark, sf_dir, "documents")
-    return minhash_candidate_pairs(docs, text_col="text", id_col="doc_id")
+    return minhash_candidate_pairs(docs, text_col="text", id_col="doc_id").orderBy(
+        "doc_a", "doc_b"
+    )
 
 
 def q_simhash_buckets(spark, sf_dir):
@@ -1008,11 +1010,13 @@ def q_correct_chunked(spark, sf_dir):
 
 
 def q_fingerprint_dups(spark, sf_dir):
-    """Whitespace-normalized FNV-1a document fingerprints: duplicate groups
-    md5 misses (textops.fingerprint). The corpus has no duplicates, so
-    whitespace-variant copies of every 10th doc are planted deterministically
-    — the op must catch ALL of them (md5 catches none). Rows-only (no FNV in
-    DuckDB); fingerprint determinism asserted in pytest."""
+    """Whitespace-normalized document fingerprints: duplicate groups md5
+    misses (textops.fingerprint, pure JVM xxhash64). The corpus has no
+    duplicates, so whitespace-variant copies of every 10th doc are planted
+    deterministically — the op must catch ALL of them (md5 catches none).
+    Oracle-checked on the duplicate GROUPS (rep id + size): DuckDB groups by
+    md5 of the SAME normalization — the groups, not the hash values, are
+    the contract."""
     from .operators.textops import fingerprint
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1028,6 +1032,24 @@ def q_fingerprint_dups(spark, sf_dir):
         .select("rep_doc_id", "cnt")
         .orderBy("rep_doc_id")
     )
+
+
+SQL_FINGERPRINT_DUPS = r"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, '  ' || replace(text, ' ', '   ') FROM documents
+  WHERE doc_id % 10 = 0
+),
+fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(regexp_replace(lower(text), '(^\s+)|(\s+$)', '', 'g'),
+                            '\s+', ' ', 'g')) AS f
+  FROM all_docs
+)
+SELECT min(doc_id) AS rep_doc_id, count(*) AS cnt
+FROM fp GROUP BY f HAVING count(*) > 1 ORDER BY rep_doc_id
+"""
 
 
 def q_embedding_near_dup(spark, sf_dir):
@@ -1169,7 +1191,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q_minhash_pairs": (q_minhash_pairs, None),
     "q_simhash_buckets": (q_simhash_buckets, None),
     "q_langid": (q_langid, _langid_sql()),
-    "q_fingerprint_dups": (q_fingerprint_dups, None),
+    "q_fingerprint_dups": (q_fingerprint_dups, SQL_FINGERPRINT_DUPS),
     "q_embedding_near_dup": (q_embedding_near_dup, None),
     "q_ivf_topk": (q_ivf_topk, None),
 }
