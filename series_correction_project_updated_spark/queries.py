@@ -398,6 +398,112 @@ FROM d ORDER BY user_id, day
 """
 
 
+def q_overview_table(spark, sf_dir):
+    """Overview/report table (reference generate_overview_table.py:26-61):
+    the level-shift log enriched via a broadcast lookup of per-chunk
+    beginning/end averages — End_Average of the previous chunk and
+    Beginning_Average of the next, both in CORRECTED space — rounded (6dp
+    here, not the reference's 3dp: the quantized synthetic values land
+    exactly on 3dp half-boundaries where engines' rounding modes differ)
+    and sorted. Day-chunked events stand in for the reference's year files.
+    By construction of the alignment, end_avg_prev_corrected equals
+    begin_avg_next_corrected — the report demonstrates the invariant."""
+    pts = _event_points(spark, sf_dir).withColumn(
+        "day", F.floor(F.col("t") / 86400).cast("long")
+    )
+    w_asc = Window.partitionBy("user_id", "day").orderBy(F.asc("t"))
+    w_desc = Window.partitionBy("user_id", "day").orderBy(F.desc("t"))
+    nz = F.when(F.col("value") != 0, F.col("value"))
+    avgs = (
+        pts.select(
+            "user_id",
+            "day",
+            "value",
+            F.row_number().over(w_asc).alias("rh"),
+            F.row_number().over(w_desc).alias("rt"),
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.coalesce(F.avg(F.when(F.col("rh") <= 5, nz)), F.lit(0.0)).alias("head_avg"),
+            F.coalesce(F.avg(F.when(F.col("rt") <= 5, nz)), F.lit(0.0)).alias("tail_avg"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    steps = (
+        avgs.select(
+            "user_id",
+            "day",
+            "head_avg",
+            F.lag("day").over(w).alias("prev_day"),
+            (F.lag("tail_avg").over(w) - F.col("head_avg")).alias("step"),
+        )
+        .withColumn(
+            "shift",
+            F.sum(F.coalesce("step", F.lit(0.0))).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .where(F.col("prev_day").isNotNull())
+    )
+    # the reference's avg_lookup: broadcast the small averages dim twice
+    prev_avgs = avgs.select(
+        "user_id", F.col("day").alias("prev_day"), F.col("tail_avg").alias("prev_tail")
+    )
+    next_avgs = avgs.select("user_id", "day", F.col("head_avg").alias("next_head"))
+    return (
+        steps.join(F.broadcast(prev_avgs), ["user_id", "prev_day"])
+        .join(F.broadcast(next_avgs), ["user_id", "day"])
+        .select(
+            "user_id",
+            F.format_string("D%05d to D%05d", "prev_day", "day").alias("day_pair"),
+            F.round("step", 6).alias("level_shift_applied"),
+            F.round(F.col("prev_tail") + F.col("shift") - F.col("step"), 6).alias(
+                "end_avg_prev_corrected"
+            ),
+            F.round(F.col("next_head") + F.col("shift"), 6).alias("begin_avg_next_corrected"),
+        )
+        .orderBy("user_id", "day_pair")
+    )
+
+
+SQL_OVERVIEW = """
+WITH pts AS (SELECT user_id, epoch_ms(ts)/1000.0 AS t, value,
+                    CAST(floor(epoch_ms(ts)/1000.0/86400) AS BIGINT) AS day FROM events),
+r AS (SELECT user_id, day, value,
+             row_number() OVER (PARTITION BY user_id, day ORDER BY t ASC) AS rh,
+             row_number() OVER (PARTITION BY user_id, day ORDER BY t DESC) AS rt
+      FROM pts),
+avgs AS (SELECT user_id, day,
+                coalesce(avg(CASE WHEN rh <= 5 AND value <> 0 THEN value END), 0.0) AS head_avg,
+                coalesce(avg(CASE WHEN rt <= 5 AND value <> 0 THEN value END), 0.0) AS tail_avg
+         FROM r GROUP BY user_id, day),
+lagged AS (
+  SELECT user_id, day, head_avg,
+         lag(day) OVER w AS prev_day,
+         lag(tail_avg) OVER w - head_avg AS step
+  FROM avgs
+  WINDOW w AS (PARTITION BY user_id ORDER BY day)
+),
+steps AS (
+  SELECT user_id, day, head_avg, prev_day, step,
+         sum(coalesce(step, 0.0))
+           OVER (PARTITION BY user_id ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS shift
+  FROM lagged
+)
+SELECT s.user_id,
+       printf('D%05d to D%05d', s.prev_day, s.day) AS day_pair,
+       round(s.step, 6) AS level_shift_applied,
+       round(p.tail_avg + s.shift - s.step, 6) AS end_avg_prev_corrected,
+       round(n.head_avg + s.shift, 6) AS begin_avg_next_corrected
+FROM steps s
+JOIN avgs p ON s.user_id = p.user_id AND s.prev_day = p.day
+JOIN avgs n ON s.user_id = n.user_id AND s.day = n.day
+WHERE s.prev_day IS NOT NULL
+ORDER BY s.user_id, day_pair
+"""
+
+
 def q_global_mad(spark, sf_dir):
     """Global-MAD outlier variant, fully native (updated_processor.py:27-54)."""
     from .operators.correct import global_mad_correct_native
@@ -1091,6 +1197,101 @@ def q_ivf_topk(spark, sf_dir):
     )
 
 
+def q_outlier_flags(spark, sf_dir):
+    """The W3–W5 modified-z-score outlier detector as NATIVE Spark
+    (operators.compare.rolling_outlier_flags), value-checked against DuckDB
+    reproducing the same padded-window median/MAD semantics — the first
+    driver-side value check of the detector math (previously pytest-only).
+    Exact-match vs the Arrow kernel's oracle.detect_outliers is pinned in
+    tests/test_compare.py."""
+    from .operators.compare import rolling_outlier_flags
+
+    pts = _event_points(spark, sf_dir).withColumnRenamed("user_id", "series_key")
+    out = rolling_outlier_flags(pts, window_size=5, threshold=3.0)
+    return out.select(
+        F.col("series_key").alias("user_id"),
+        F.round("t", 3).alias("t"),
+        F.round("roll_median", 6).alias("roll_median"),
+        F.round("abs_diff", 6).alias("abs_diff"),
+        "is_outlier",
+    ).orderBy("user_id", "t")
+
+
+SQL_OUTLIER_FLAGS = """
+WITH pts AS (SELECT user_id, epoch_ms(ts)/1000.0 AS t, value FROM events),
+w AS (
+  SELECT user_id, t, value,
+         count(*) OVER win AS n_rows,
+         count(value) OVER win AS n_vals,
+         list(value) OVER win AS arr
+  FROM pts
+  WINDOW win AS (PARTITION BY user_id ORDER BY t
+                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+),
+m AS (
+  SELECT user_id, t, value, arr,
+         (n_rows = 5 AND n_vals = 5) AS is_full,
+         list_sort(list_filter(arr, x -> x IS NOT NULL))[3] AS med
+  FROM w
+),
+z AS (
+  SELECT user_id, t, is_full, med,
+         abs(value - med) AS adiff,
+         1.4826 * list_sort(list_transform(list_filter(arr, x -> x IS NOT NULL),
+                                           x -> abs(x - med)))[3] AS smad
+  FROM m
+)
+SELECT user_id, round(t, 3) AS t,
+       round(CASE WHEN is_full THEN med END, 6) AS roll_median,
+       round(CASE WHEN is_full THEN adiff END, 6) AS abs_diff,
+       coalesce(is_full AND (CASE WHEN smad < 1e-6 THEN adiff > 3.0 * 1e-6
+                                  ELSE adiff / smad > 3.0 END), FALSE) AS is_outlier
+FROM z ORDER BY user_id, t
+"""
+
+
+def q_compare_raw_corrected(spark, sf_dir):
+    """Raw-vs-corrected QA table (reference export_comparisons,
+    export_comparison_sheets.py:191-263): full-outer join on (series, t)
+    with raw/corrected values side by side, diff, changed, and fresh outlier
+    flags on the raw side. Corrected side is the (non-SQL-expressible)
+    3-step kernel, so rows-only here; the join/flags shape is oracle-checked
+    via q_outlier_flags and the merge semantics pinned in tests. Aggregated
+    per series to keep the driver check compact."""
+    from .operators.compare import compare_raw_corrected
+    from .operators.correct import correct_series
+
+    raw = _event_points(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("series_key"), "t", "value"
+    )
+    cmp_df = compare_raw_corrected(raw, correct_series(raw))
+    return (
+        cmp_df.groupBy("series_key")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("value_raw").isNull().cast("long")).alias("n_inserted"),
+            F.sum(F.col("value_corrected").isNull().cast("long")).alias("n_dropped"),
+            F.sum(F.col("changed").cast("long")).alias("n_changed"),
+            F.sum(F.col("outlier_flag").cast("long")).alias("n_outliers"),
+            F.round(F.sum(F.abs("diff")), 4).alias("total_abs_diff"),
+        )
+        .orderBy("series_key")
+    )
+
+
+def q_lsh_topk(spark, sf_dir):
+    """Random-hyperplane LSH approximate top-k (similarity.lsh_topk):
+    bucket equi-join + exact cosine re-rank inside the bucket. Rows-only
+    (bucketing is hash-specific); recall vs brute force asserted in pytest."""
+    from .operators.similarity import lsh_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    return lsh_topk(emb, queries_df, dim=64, k=3, n_planes=4).select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
+
+
 def _langid_sql() -> str:
     """DuckDB oracle for q_langid. Mirrors operators.textops.langid_heuristic
     exactly: stopword-hit ratio per language over whitespace-split lowered
@@ -1194,4 +1395,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q_fingerprint_dups": (q_fingerprint_dups, SQL_FINGERPRINT_DUPS),
     "q_embedding_near_dup": (q_embedding_near_dup, None),
     "q_ivf_topk": (q_ivf_topk, None),
+    "q_lsh_topk": (q_lsh_topk, None),
+    "q_outlier_flags": (q_outlier_flags, SQL_OUTLIER_FLAGS),
+    "q_compare_raw_corrected": (q_compare_raw_corrected, None),
+    "q_overview_table": (q_overview_table, SQL_OVERVIEW),
 }
