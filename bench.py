@@ -59,6 +59,29 @@ def _drain(df) -> int:
     return df.count()
 
 
+def _cpu_probe(sec: float = 0.5) -> float:
+    """Single-thread pure-CPU iterations/sec — a firecracker-steal signal.
+
+    Recorded in the output JSON so a contended run is IDENTIFIABLE rather
+    than silently slow (this VM shows bursty CPU steal; r01's driver probe
+    ran 2.5× the in-repo number for exactly this reason)."""
+    t0 = time.perf_counter()
+    x = 0
+    while time.perf_counter() - t0 < sec:
+        x += 1
+    return round(x / sec)
+
+
+def _best_of(reps: int, fn) -> tuple[float, list[float]]:
+    """min-of-N wall time (steal noise is one-sided) plus the raw reps."""
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        times.append(round(time.perf_counter() - t0, 3))
+    return min(times), times
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -75,32 +98,68 @@ def main() -> None:
         (F.unix_millis(F.col("ts").cast("timestamp")) / 1000.0).alias("t"),
         "value",
     )
-    from series_correction_project_updated_spark.operators.correct import correct_and_rollup
+    from series_correction_project_updated_spark.operators.correct import (
+        correct_and_rollup,
+        correct_rollup_lineage,
+    )
+
+    probe_start = _cpu_probe()
 
     # Materialize input and JIT-warm the Python workers OUTSIDE the timed
     # windows (same protocol as BENCH/scaling.py): the first kernel job
     # otherwise pays parquet-footer reads + Arrow worker spin-up, which
-    # inverted fused-vs-staged comparisons by up to 40% on this VM.
+    # inverted fused-vs-staged comparisons by up to 40% on this VM. The
+    # warmup covers BOTH kernel shapes (plain and fused) so neither timed
+    # section is the first of its plan shape.
     pts.cache()
     pts.count()
+    correct_series(pts.limit(50_000)).count()
     correct_and_rollup(pts.limit(50_000), "1m").count()
 
-    t0 = time.perf_counter()
+    # kernel-heavy sections run best-of-2 (steal noise is one-sided); raw
+    # reps are reported so the driver's number is interpretable either way
+    raw_reps: dict[str, list[float]] = {}
+
+    n_points = 0
+
+    def _staged():
+        nonlocal n_points
+        n_points = correct_series(pts).count()
+
+    t_correct, raw_reps["pipeline_correct"] = _best_of(2, _staged)
+
+    # cache one corrected copy (outside the timed windows) for the rollup
+    # and compress sections
     corrected = correct_series(pts)
     corrected.cache()
-    n_points = corrected.count()
-    t_correct = time.perf_counter() - t0
+    corrected.count()
 
+    # cache intermediate tiers: cascades are lazy over their parent, so
+    # draining 1m/1h/1d without caching would recompute the 1m aggregation
+    # three times — the real pipeline writes each tier to parquet instead
     t0 = time.perf_counter()
     tiers = rollup_all_tiers(corrected)
+    tiers["1m"].cache()
+    tiers["1h"].cache()
     rolled = {name: _drain(df) for name, df in tiers.items()}
     t_rollup = time.perf_counter() - t0
 
     # fused production path: correction + 1m tier in ONE kernel pass
-    t0 = time.perf_counter()
-    n_fused = correct_and_rollup(pts, "1m").count()
-    t_fused = time.perf_counter() - t0
+    n_fused = 0
+
+    def _fused():
+        nonlocal n_fused
+        n_fused = correct_and_rollup(pts, "1m").count()
+
+    t_fused, raw_reps["pipeline_fused_correct_1m"] = _best_of(2, _fused)
     timings["pipeline_fused_correct_1m"] = round(t_fused, 3)
+
+    # fused + lineage: what run_pipeline actually executes (rollup AND the
+    # lineage side table from the same single kernel pass)
+    t0 = time.perf_counter()
+    n_fused_lineage = correct_rollup_lineage(pts, "1m").count()
+    t_fused_lineage = time.perf_counter() - t0
+    timings["pipeline_fused_lineage_1m"] = round(t_fused_lineage, 3)
 
     t0 = time.perf_counter()
     comp = compress_rollup(tiers["1m"], "1m")
@@ -117,6 +176,8 @@ def main() -> None:
     timings["pipeline_compress"] = round(t_compress, 3)
     corrected.unpersist()
     comp.unpersist()
+    tiers["1m"].unpersist()
+    tiers["1h"].unpersist()
 
     # --- per-query timings
     for name in BENCH_QUERIES:
@@ -125,6 +186,7 @@ def main() -> None:
         _drain(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    probe_end = _cpu_probe()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -142,7 +204,12 @@ def main() -> None:
                     "compressed_bytes_per_point_1m": round(bpp, 3) if bpp else None,
                     "fused_rolled_points_1m": n_fused,
                     "fused_rolled_points_per_sec": round(n_fused / t_fused, 1),
+                    "fused_lineage_rows_1m": n_fused_lineage,
+                    "fused_lineage_sec": round(t_fused_lineage, 3),
                     "cpus": cpus,
+                    "warmup": "input cached + both kernel shapes pre-run",
+                    "raw_reps_sec": raw_reps,
+                    "steal_probe_ips": {"start": probe_start, "end": probe_end},
                 },
             }
         )

@@ -100,23 +100,41 @@ def minhash_candidate_pairs(
 
 
 def minhash_jaccard_estimate(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_hashes: int = 64
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    candidate_pairs: DataFrame | None = None,
 ) -> DataFrame:
-    """Pairwise Jaccard estimate = fraction of agreeing minhashes, for LSH
-    candidates (verify step)."""
+    """Pairwise Jaccard estimate = fraction of agreeing minhashes — the
+    VERIFY step for LSH candidates.
+
+    Pass ``candidate_pairs`` (columns doc_a, doc_b — e.g. the output of
+    ``minhash_candidate_pairs``): the estimate is then two equi-joins on the
+    pair list, sub-quadratic end to end. Omitting it computes ALL pairs via
+    an O(n²) theta-join — only sane on small filtered sets, and deliberately
+    explicit here so the quadratic path can't be reached by accident at
+    corpus scale."""
     sig = minhash_signatures(docs, text_col, id_col, num_hashes)
-    a = sig.alias("a")
-    b = sig.alias("b")
     agree = F.size(
         F.filter(
-            F.zip_with(F.col("a.minhash"), F.col("b.minhash"), lambda x, y: x == y),
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
             lambda v: v,
         )
     )
-    return a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}")).select(
-        F.col(f"a.{id_col}").alias("doc_a"),
-        F.col(f"b.{id_col}").alias("doc_b"),
-        (agree / num_hashes).alias("jaccard_est"),
+    if candidate_pairs is not None:
+        a = sig.select(F.col(id_col).alias("doc_a"), F.col("minhash").alias("sig_a"))
+        b = sig.select(F.col(id_col).alias("doc_b"), F.col("minhash").alias("sig_b"))
+        return (
+            candidate_pairs.select("doc_a", "doc_b")
+            .join(a, "doc_a")
+            .join(b, "doc_b")
+            .select("doc_a", "doc_b", (agree / num_hashes).alias("jaccard_est"))
+        )
+    a = sig.select(F.col(id_col).alias("doc_a"), F.col("minhash").alias("sig_a"))
+    b = sig.select(F.col(id_col).alias("doc_b"), F.col("minhash").alias("sig_b"))
+    return a.join(b, F.col("doc_a") < F.col("doc_b")).select(
+        "doc_a", "doc_b", (agree / num_hashes).alias("jaccard_est")
     )
 
 

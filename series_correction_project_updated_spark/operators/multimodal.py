@@ -6,13 +6,15 @@ processing runs through ``mapInPandas`` (Arrow batches of whole payloads) so
 decode/resize/frame-sample parallelize across executors and never hit
 per-row Python.
 
-The actual codec work (JPEG decode, audio resample, video frame extraction)
-requires libraries not present in this container, so the decode step is a
-STUB — ``_decode_payload`` raises ``NotImplementedError`` for real media
-unless a codec library is importable, and supports the deterministic
-``FAKE`` container (``make_fake_media``) end-to-end so the Spark-side
-plumbing (schema, partitioning, UDF signature, batch shape) is real and
-tested.
+``_decode_payload`` is a REAL decoder for the dependency-free public
+formats — PPM/PGM (netpbm P6/P5), uncompressed 24-bit BMP, and PCM-16 WAV —
+parsed with struct/NumPy alone, plus the deterministic ``FAKE`` container
+(``make_fake_media``) for seedable test data. Compressed codecs (JPEG/PNG/
+MP3/H.264) need libraries absent from this container, so that path stays
+import-gated: with PIL installed it would decode, here it raises
+``NotImplementedError`` with a clear message. The Spark-side plumbing
+(schema, partitioning, UDF signature, batch shape) is identical for every
+container kind.
 
 FAKE container layout (deterministic, seedable):
     b"FAKEMEDIA" | kind(1B: I/A/V) | width u16 | height u16 | n_frames u16 |
@@ -88,24 +90,107 @@ def make_fake_media(
     return base.mapInPandas(_gen, schema=MEDIA_SCHEMA)
 
 
+def _decode_netpbm(payload: bytes) -> tuple[str, int, int, int, int, np.ndarray]:
+    """PPM (P6, RGB) / PGM (P5, gray) binary netpbm decode — pure NumPy.
+
+    Grayscale output: P6 pixels are averaged across RGB (integer mean)."""
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment line
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while end < len(payload) and not payload[end : end + 1].isspace():
+            end += 1
+        fields.append(int(payload[pos:end]))
+        pos = end
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm not supported")
+    if payload[:2] == b"P6":
+        rgb = np.frombuffer(payload, dtype=np.uint8, offset=pos, count=w * h * 3)
+        gray = rgb.reshape(h, w, 3).mean(axis=2).astype(np.uint8)
+    else:
+        gray = np.frombuffer(payload, dtype=np.uint8, offset=pos, count=w * h).reshape(h, w)
+    return "image", w, h, 1, 0, gray.ravel()
+
+
+def _decode_bmp(payload: bytes) -> tuple[str, int, int, int, int, np.ndarray]:
+    """Uncompressed 24-bit BMP decode (BITMAPINFOHEADER) — pure NumPy.
+
+    Rows are bottom-up and padded to 4 bytes; output is row-major grayscale
+    (integer mean of BGR)."""
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    header_size, w, h_signed = struct.unpack_from("<Iii", payload, 14)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+    h = abs(h_signed)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, dtype=np.uint8, offset=data_offset, count=stride * h)
+    rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if h_signed > 0:  # bottom-up storage
+        rows = rows[::-1]
+    gray = rows.mean(axis=2).astype(np.uint8)
+    return "image", w, h, 1, 0, gray.ravel()
+
+
+def _decode_wav(payload: bytes) -> tuple[str, int, int, int, int, np.ndarray]:
+    """PCM-16 RIFF/WAVE decode — pure struct/NumPy chunk walk.
+
+    Samples are mixed to mono and mapped int16 → uint8 (offset-binary) so
+    downstream byte-level features treat every modality uniformly."""
+    if payload[8:12] != b"WAVE":
+        raise NotImplementedError("not a WAVE file")
+    pos, sr, n_channels, bits = 12, 0, 1, 16
+    samples = np.array([], dtype=np.int16)
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"fmt ":
+            fmt, n_channels, sr = struct.unpack_from("<HHI", payload, pos + 8)
+            bits = struct.unpack_from("<H", payload, pos + 22)[0]
+            if fmt != 1 or bits != 16:
+                raise NotImplementedError("only PCM-16 WAV supported")
+        elif cid == b"data":
+            samples = np.frombuffer(payload, dtype="<i2", offset=pos + 8, count=size // 2)
+        pos += 8 + size + (size & 1)
+    if n_channels > 1:
+        samples = samples.reshape(-1, n_channels).mean(axis=1).astype(np.int16)
+    body = ((samples.astype(np.int32) >> 8) + 128).astype(np.uint8)
+    return "audio", 0, 0, 1, sr, body
+
+
 def _decode_payload(payload: bytes) -> tuple[str, int, int, int, int, np.ndarray]:
     """Decode one payload → (kind, w, h, n_frames, sample_rate, array).
 
-    Real codecs are stubbed: a non-FAKE payload raises NotImplementedError
-    unless PIL/soundfile are available (import-gated)."""
+    Dispatch by magic bytes: FAKE container, netpbm (P5/P6), BMP, WAV are
+    decoded for real with no external libraries; compressed codecs are
+    import-gated on PIL (absent in this container)."""
     if payload[: len(_MAGIC)] == _MAGIC:
         kind = _BYTE_KIND[payload[len(_MAGIC) : len(_MAGIC) + 1]]
         w, h, n_frames, sr = struct.unpack_from("<HHHI", payload, len(_MAGIC) + 1)
         body = np.frombuffer(payload, dtype=np.uint8, offset=len(_MAGIC) + 1 + 10)
         return kind, w, h, n_frames, sr, body
-    try:  # pragma: no cover - real codec path, not in this container
+    if payload[:2] in (b"P5", b"P6"):
+        return _decode_netpbm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:4] == b"RIFF":
+        return _decode_wav(payload)
+    try:  # pragma: no cover - compressed codec path, libs not in container
         import PIL.Image  # noqa: F401
     except ImportError:
         raise NotImplementedError(
-            "real media decoding requires codec libraries not present here; "
-            "only the FAKE container is supported in this environment"
+            "compressed codecs (JPEG/PNG/...) need libraries not present "
+            "here; PPM/PGM, uncompressed BMP, PCM WAV and the FAKE container "
+            "decode natively"
         ) from None
-    raise NotImplementedError("real codec path not implemented")
+    raise NotImplementedError("compressed codec path not implemented")
 
 
 def extract_media_features(media: DataFrame, num_partitions: int | None = None) -> DataFrame:

@@ -335,3 +335,103 @@ def test_pipeline_rejects_non_nested_tiers(spark, tmp_path):
         run_pipeline(
             spark, pages, str(tmp_path / "bad"), PipelineConfig(tiers=("1h", "1m"))
         )
+
+
+def test_hot_series_memory_bound_via_chunking(spark):
+    """Pins the memory-bound story documented in operators/correct.py: a
+    series too hot for one task is processed as (series, time-chunk) groups
+    — many bounded pandas frames instead of one giant one — and realigned."""
+    from series_correction_project_updated_spark.operators.correct import (
+        correct_series_chunked,
+    )
+
+    n = 20_000  # one hot series spanning ~23 day-chunks
+    # constant value: the detectors must find nothing in any chunk, so the
+    # chunked path's only effect should be the (series, chunk) decomposition
+    pdf = pd.DataFrame(
+        {
+            "series_key": "hot",
+            "t": [float(i * 100) for i in range(n)],
+            "value": 10.0,
+        }
+    )
+    points = spark.createDataFrame(pdf)
+    chunked = points.withColumn("chunk", (F.col("t") / F.lit(86400.0)).cast("long"))
+    n_groups = chunked.select("series_key", "chunk").distinct().count()
+    assert n_groups > 20  # the hot series spreads over many kernel groups
+
+    out = correct_series_chunked(points, chunk_sec=86400.0).toPandas()
+    # nothing corrected away, no rows lost, values untouched
+    assert len(out) == n
+    assert (out["value"] == 10.0).all()
+
+
+def test_streaming_gap_detect_matches_batch(spark, tmp_path):
+    """The stateful streaming gap detector (applyInPandasWithState) must flag
+    the same gaps as the batch detector when the reservoir holds the full
+    delta history (single micro-batch, regular cadence with planted gaps)."""
+    from series_correction_project_updated_spark.operators.correct import (
+        detect_gaps_native,
+    )
+    from series_correction_project_updated_spark.streaming.gap_stream import (
+        detect_gaps_stream,
+    )
+
+    rows = []
+    for key in ("a", "b"):
+        t = 0.0
+        for i in range(60):
+            t += 10.0 if i not in (20, 45) else 100.0  # two planted gaps
+            rows.append((key, t, 1.0))
+    pdf = pd.DataFrame(rows, columns=["series_key", "t", "value"])
+    src = str(tmp_path / "src")
+    spark.createDataFrame(pdf).write.parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        detect_gaps_stream(stream, threshold_factor=3.0)
+        .writeStream.format("memory")
+        .queryName("gaps_stream")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = (
+        spark.sql("SELECT * FROM gaps_stream")
+        .toPandas()
+        .sort_values(["series_key", "t"])
+        .reset_index(drop=True)
+    )
+    want = (
+        detect_gaps_native(spark.createDataFrame(pdf), threshold_factor=3.0)
+        .toPandas()
+        .sort_values(["series_key", "t"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) == 4  # 2 series × 2 planted gaps
+    pd.testing.assert_frame_equal(got[["series_key", "t", "prev_t"]], want[["series_key", "t", "prev_t"]])
+
+
+def test_minhash_jaccard_on_candidate_pairs(spark, docs):
+    """The verify step over an explicit candidate-pair list (the scale path)
+    must agree with the all-pairs estimate restricted to those pairs."""
+    from series_correction_project_updated_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_jaccard_estimate,
+    )
+
+    cands = minhash_candidate_pairs(docs, num_hashes=32, bands=8)
+    via_pairs = (
+        minhash_jaccard_estimate(docs, num_hashes=64, candidate_pairs=cands)
+        .toPandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    all_pairs = minhash_jaccard_estimate(docs, num_hashes=64).toPandas()
+    assert len(via_pairs) == cands.count()
+    merged = via_pairs.merge(all_pairs, on=["doc_a", "doc_b"], suffixes=("_p", "_a"))
+    assert (merged["jaccard_est_p"] == merged["jaccard_est_a"]).all()
+    # the exact dup pair must estimate 1.0
+    exact = via_pairs[(via_pairs.doc_a == 0) & (via_pairs.doc_b == 1)]
+    assert len(exact) == 1 and exact.iloc[0]["jaccard_est"] == 1.0
