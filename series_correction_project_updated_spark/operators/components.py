@@ -1,0 +1,97 @@
+"""Connected components over candidate-pair edges: dedup GROUP resolution.
+
+Near-dup detection (MinHash/SimHash/fingerprint) emits PAIRS; an actual
+dedup pipeline needs GROUPS — the transitive closure of the pair relation —
+so each cluster keeps exactly one representative. This is the classic
+label-propagation / Hash-to-Min shape (Rastogi et al. 2013, "Finding
+Connected Components in Map-Reduce"): every vertex repeatedly adopts the
+minimum label in its neighborhood until fixpoint.
+
+Scale notes (10^12-row corpora):
+
+* Per iteration: one equi-join of labels onto edges + one min-aggregate —
+  both hash-shuffled on vertex id, no global sorts, no driver data.
+* Iteration count is O(component diameter); duplicate clusters are tiny
+  (diameter ≤ a few hops), so 3–5 iterations in practice; ``max_iter``
+  bounds the worst case and the loop exits EARLY via a converged check
+  (count of changed labels == 0 — one cheap action per iteration).
+* Lineage is cut with ``localCheckpoint`` each iteration so the plan does
+  not grow exponentially across loops (the standard iterative-algorithm
+  pattern on Spark; on a cluster use ``checkpoint`` with a reliable dir).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve undirected candidate pairs into components.
+
+    Returns (id, component) where ``component`` is the smallest id reachable
+    from ``id`` — i.e. the group representative. Only ids that appear in
+    ``pairs`` are returned (isolated docs are their own trivial group and
+    need no row).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    labels = labels.localCheckpoint()
+
+    for _ in range(max_iter):
+        # each vertex adopts min(own label, neighbors' labels)
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+                F.col("component").alias("_old"),
+            )
+        )
+        updated = updated.localCheckpoint()
+        changed = updated.where(F.col("component") != F.col("_old")).count()
+        labels = updated.drop("_old")
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_groups(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b") -> DataFrame:
+    """Components → (rep_doc_id, group_size) with group_size ≥ 2."""
+    comp = connected_components(pairs, a_col, b_col)
+    return (
+        comp.groupBy(F.col("component").alias("rep_doc_id"))
+        .agg(F.count("*").alias("group_size"))
+        .where(F.col("group_size") >= 2)
+    )
+
+
+def drop_duplicates_by_pairs(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The actual dedup materialization: keep one representative per
+    component, drop the other members, keep all unpaired docs. Anti-join on
+    the (small relative to the corpus) non-representative member list."""
+    comp = connected_components(pairs)
+    losers = comp.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")

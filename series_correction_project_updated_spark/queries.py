@@ -1158,6 +1158,57 @@ FROM fp GROUP BY f HAVING count(*) > 1 ORDER BY rep_doc_id
 """
 
 
+def q_dedup_resolve(spark, sf_dir):
+    """Near-dup GROUP resolution via iterative connected components
+    (operators.components) — pairs in, transitive groups out. Two planted
+    whitespace variants per selected doc form 3-member clusters, and edges
+    are given as CHAINS (orig↔v1, v1↔v2 only), so the result is correct ONLY
+    if label propagation actually runs transitively. Oracle: DuckDB derives
+    the same groups non-iteratively from md5 of the shared normalization —
+    an iterative Spark algorithm value-checked against closed-form SQL."""
+    from .operators.components import dedup_groups
+    from .operators.textops import fingerprint
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    v1 = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("  "), F.regexp_replace("text", r" ", "   ")).alias("text"),
+    )
+    v2 = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.regexp_replace("text", r" ", "\t"), F.lit("\n")).alias("text"),
+    )
+    all_docs = fingerprint(docs.unionByName(v1).unionByName(v2))
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    chain = (
+        all_docs.select("doc_id", "fingerprint", F.lag("doc_id").over(w).alias("prev_id"))
+        .where(F.col("prev_id").isNotNull())
+        .select(F.col("prev_id").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    return dedup_groups(chain).orderBy("rep_doc_id")
+
+
+SQL_DEDUP_RESOLVE = r"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, '  ' || replace(text, ' ', '   ') FROM documents
+  WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, replace(text, ' ', chr(9)) || chr(10) FROM documents
+  WHERE doc_id % 10 = 0
+),
+fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(regexp_replace(lower(text), '(^\s+)|(\s+$)', '', 'g'),
+                            '\s+', ' ', 'g')) AS f
+  FROM all_docs
+)
+SELECT min(doc_id) AS rep_doc_id, count(*) AS group_size
+FROM fp GROUP BY f HAVING count(*) >= 2 ORDER BY rep_doc_id
+"""
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs via LSH buckets
     (similarity.embedding_near_dup). Rows-only: bucketing is
@@ -1399,4 +1450,5 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q_outlier_flags": (q_outlier_flags, SQL_OUTLIER_FLAGS),
     "q_compare_raw_corrected": (q_compare_raw_corrected, None),
     "q_overview_table": (q_overview_table, SQL_OVERVIEW),
+    "q_dedup_resolve": (q_dedup_resolve, SQL_DEDUP_RESOLVE),
 }
