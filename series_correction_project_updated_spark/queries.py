@@ -1211,8 +1211,11 @@ FROM fp GROUP BY f HAVING count(*) >= 2 ORDER BY rep_doc_id
 
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs via LSH buckets
-    (similarity.embedding_near_dup). Rows-only: bucketing is
-    hash-function-specific; subset-of-brute-force asserted in pytest."""
+    (similarity.embedding_near_dup). Oracle-checked against DuckDB
+    BRUTE-FORCE cosine over the same union: every pair the exhaustive scan
+    finds at ≥ threshold must come out of the LSH path too (recall) with
+    the identical cosine, and nothing extra (precision) — an approximate
+    operator held to the exact answer on planted data."""
     from .operators.similarity import embedding_near_dup
 
     emb = load(spark, sf_dir, "embeddings").select(
@@ -1220,7 +1223,10 @@ def q_embedding_near_dup(spark, sf_dir):
     )
     # the corpus has no near-identical vectors (max pairwise cosine ≈ 0.51),
     # so perturbed copies of vec_id<20 are planted deterministically
-    # (±0.9% per-component wiggle ⇒ cosine ≈ 0.9999) — LSH must find them
+    # (±0.9% per-component wiggle ⇒ cosine ≈ 0.9999) — LSH must find them.
+    # NB: vec_id inside the transform resolves to the LATERAL alias (the
+    # +1_000_000 id) — Spark 3.4+ lateral column resolution; the oracle
+    # mirrors that.
     perturbed = emb.where(F.col("vec_id") < 20).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
         F.transform(
@@ -1233,6 +1239,26 @@ def q_embedding_near_dup(spark, sf_dir):
         .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
         .orderBy("vec_a", "vec_b")
     )
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+pert AS (
+  -- Spark resolves vec_id inside the transform to the LATERAL alias
+  -- (the +1000000 id), so the oracle perturbs with the same id
+  SELECT vec_id + 1000000 AS vec_id, emb2 AS emb
+  FROM (SELECT vec_id,
+               list_transform(emb, (x, i) ->
+                   x * (1.0 + 0.003 * CAST(((vec_id + 1000000) * 31 + (i - 1)) % 7 - 3 AS DOUBLE))) AS emb2
+        FROM base WHERE vec_id < 20)
+),
+allv AS (SELECT * FROM base UNION ALL SELECT * FROM pert)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.emb, b.emb) >= 0.99
+ORDER BY vec_a, vec_b
+"""
 
 
 def q_ivf_topk(spark, sf_dir):
@@ -1444,7 +1470,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q_simhash_buckets": (q_simhash_buckets, None),
     "q_langid": (q_langid, _langid_sql()),
     "q_fingerprint_dups": (q_fingerprint_dups, SQL_FINGERPRINT_DUPS),
-    "q_embedding_near_dup": (q_embedding_near_dup, None),
+    "q_embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "q_ivf_topk": (q_ivf_topk, None),
     "q_lsh_topk": (q_lsh_topk, None),
     "q_outlier_flags": (q_outlier_flags, SQL_OUTLIER_FLAGS),
