@@ -28,32 +28,54 @@ def compress_rollup(
     tier: str,
     value_col: str = "vsum",
     chunk_buckets: int = 16384,
+    num_partitions: int | None = None,
 ) -> DataFrame:
-    """rollup tier rows → (series_key, tier, chunk_start, codec, n_points, payload)."""
+    """rollup tier rows → (series_key, tier, chunk_start, codec, n_points, payload).
+
+    Execution shape: one explicit hash repartition on ``series_key`` then
+    ``mapInPandas`` with an in-pandas groupby — the same pattern (and for
+    the same reason) as the correction kernel: ``groupBy().applyInPandas``
+    pays per-GROUP Arrow/pandas setup, ruinous when chunks are small
+    relative to group count (measured ~2.4× on 16k × 267-bucket chunks).
+    Hash partitioning guarantees no (series, chunk) straddles partitions.
+    """
     sec = TIER_SECONDS[tier]
     chunk_span = sec * chunk_buckets
+    if num_partitions is None:
+        num_partitions = tier_df.sparkSession.sparkContext.defaultParallelism * 2
 
     with_chunk = tier_df.withColumn(
         "chunk_start", (F.floor(F.col("bucket_start") / chunk_span) * chunk_span).cast("long")
-    )
+    ).select("series_key", "chunk_start", "bucket_start", value_col)
 
-    def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("bucket_start")
-        ts = pdf["bucket_start"].to_numpy("int64")
-        vals = pdf[value_col].to_numpy("float64")
-        payload = codec.encode_chunk(ts, vals)
-        return pd.DataFrame(
+    def _encode_partition(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        pdf = pdf.sort_values(["series_key", "chunk_start", "bucket_start"])
+        out_keys, out_starts, out_n, out_payload = [], [], [], []
+        for (key, start), grp in pdf.groupby(["series_key", "chunk_start"], sort=False):
+            ts = grp["bucket_start"].to_numpy("int64")
+            vals = grp[value_col].to_numpy("float64")
+            out_keys.append(key)
+            out_starts.append(int(start))
+            out_n.append(len(ts))
+            out_payload.append(codec.encode_chunk(ts, vals))
+        yield pd.DataFrame(
             {
-                "series_key": [pdf["series_key"].iloc[0]],
-                "tier": [tier],
-                "chunk_start": [int(pdf["chunk_start"].iloc[0])],
-                "codec": ["gorilla-dod-xor"],
-                "n_points": [len(ts)],
-                "payload": [payload],
+                "series_key": out_keys,
+                "tier": tier,
+                "chunk_start": out_starts,
+                "codec": "gorilla-dod-xor",
+                "n_points": out_n,
+                "payload": out_payload,
             }
-        )
+        )[["series_key", "tier", "chunk_start", "codec", "n_points", "payload"]]
 
-    return with_chunk.groupBy("series_key", "chunk_start").applyInPandas(_encode, schema=COMPRESSED)
+    return with_chunk.repartition(num_partitions, "series_key").mapInPandas(
+        _encode_partition, schema=COMPRESSED
+    )
 
 
 def decompress_to_points(compressed: DataFrame) -> DataFrame:
