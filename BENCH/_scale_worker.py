@@ -93,7 +93,9 @@ def main() -> None:
             r1h = spark.read.parquet(f"{d}/r1h")
             cascade(r1h, "1d").write.mode("overwrite").parquet(f"{d}/r1d")
             t2 = time.perf_counter()
-            compress_rollup(r1m, "1m").write.mode("overwrite").parquet(f"{d}/comp")
+            compress_rollup(r1m, "1m", num_partitions=n_part).write.mode(
+                "overwrite"
+            ).parquet(f"{d}/comp")
             t3 = time.perf_counter()
 
             rec = {

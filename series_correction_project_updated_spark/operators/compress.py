@@ -42,7 +42,9 @@ def compress_rollup(
     sec = TIER_SECONDS[tier]
     chunk_span = sec * chunk_buckets
     if num_partitions is None:
-        num_partitions = tier_df.sparkSession.sparkContext.defaultParallelism * 2
+        # floor of 32 keeps per-partition pandas frames bounded even at low
+        # parallelism (each partition is concatenated into one frame)
+        num_partitions = max(tier_df.sparkSession.sparkContext.defaultParallelism * 2, 32)
 
     with_chunk = tier_df.withColumn(
         "chunk_start", (F.floor(F.col("bucket_start") / chunk_span) * chunk_span).cast("long")
