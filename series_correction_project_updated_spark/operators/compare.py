@@ -89,6 +89,38 @@ def rolling_outlier_flags(
     )
 
 
+def positional_concat(
+    left: DataFrame,
+    right: DataFrame,
+    order_left: str,
+    order_right: str,
+    suffixes: tuple[str, str] = ("_raw", "_processed"),
+) -> DataFrame:
+    """J2 — the reference's POSITIONAL merge fallback: when raw and
+    processed share no time column, ``export_comparison_sheets.py:200``
+    concatenates them row-by-row (``pd.concat(axis=1)``).
+
+    DISCOURAGED here exactly as there — positional identity is meaningless
+    once a correction run inserts or drops rows; prefer the keyed
+    ``compare_raw_corrected``. A distributed engine additionally has no
+    implicit row order, so the caller MUST name an ordering column per side
+    (the reference gets its order implicitly from file layout); rows are
+    then paired by rank with a full-outer join, preserving the reference's
+    unequal-length behavior (shorter side padded with nulls).
+    """
+    wl = Window.orderBy(order_left)
+    wr = Window.orderBy(order_right)
+    lt = left.select(
+        F.row_number().over(wl).alias("_pos"),
+        *[F.col(c).alias(c + suffixes[0]) for c in left.columns],
+    )
+    rt = right.select(
+        F.row_number().over(wr).alias("_pos"),
+        *[F.col(c).alias(c + suffixes[1]) for c in right.columns],
+    )
+    return lt.join(rt, "_pos", "full_outer").orderBy("_pos").drop("_pos")
+
+
 def compare_raw_corrected(
     raw: DataFrame,
     corrected: DataFrame,

@@ -94,3 +94,21 @@ def test_compare_full_outer_semantics(spark):
     r0 = out[out.t == 0.0].iloc[0]
     assert not r0["changed"] and r0["diff"] == 0.0
     assert not out["outlier_flag"].isna().any()
+
+
+def test_positional_concat_fallback(spark):
+    from series_correction_project_updated_spark.operators.compare import (
+        positional_concat,
+    )
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"t": [0.0, 1.0, 2.0], "v": [10.0, 11.0, 12.0]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"ts": [5.0, 6.0, 7.0, 8.0], "w": [20.0, 21.0, 22.0, 23.0]})
+    )
+    out = positional_concat(left, right, "t", "ts").toPandas()
+    assert list(out.columns) == ["t_raw", "v_raw", "ts_processed", "w_processed"]
+    assert len(out) == 4  # unequal lengths: shorter side null-padded
+    assert out.iloc[0].tolist() == [0.0, 10.0, 5.0, 20.0]
+    assert pd.isna(out.iloc[3]["t_raw"]) and out.iloc[3]["w_processed"] == 23.0
