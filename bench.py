@@ -51,6 +51,10 @@ BENCH_QUERIES = [
     "q_word_overlap_pairs",
     "q_correct_series",
     "q_minhash_pairs",
+    "q_simhash_buckets",
+    "q_fingerprint_dups",
+    "q_outlier_flags",
+    "q_dedup_resolve",
 ]
 
 
