@@ -4,7 +4,7 @@ Implements the two codecs from Facebook's Gorilla paper (Pelkonen et al.,
 VLDB 2015, public):
 
 * timestamps — delta-of-delta with the paper's variable-length buckets
-  ('0' | '10'+7b | '110'+9b | '1110'+12b | '1111'+32b),
+  ('0' | '10'+7b | '110'+9b | '1110'+12b | '11110'+32b | '11111'+64b escape),
 * float64 values — XOR with leading/trailing-zero window reuse
   ('0' same | '10' reuse window | '11' + 5b leading + 6b length + bits).
 
@@ -122,7 +122,9 @@ def _encode_timestamps_codes(ts: np.ndarray) -> tuple[list, list]:
     b7 = (dod != 0) & (dod >= -63) & (dod <= 64)
     b9 = (dod != 0) & ~b7 & (dod >= -255) & (dod <= 256)
     b12 = (dod != 0) & ~b7 & ~b9 & (dod >= -2047) & (dod <= 2048)
-    b32 = (dod != 0) & ~b7 & ~b9 & ~b12
+    in32 = (dod >= -(2**31)) & (dod < 2**31)
+    b32 = (dod != 0) & ~b7 & ~b9 & ~b12 & in32
+    b64 = (dod != 0) & ~b7 & ~b9 & ~b12 & ~in32  # escape: full 64-bit dod
     udod = dod.view(np.uint64)
     codes[b7] = (np.uint64(0b10) << _U64(7)) | (udod[b7] & _U64(0x7F))
     lens[b7] = 9
@@ -130,9 +132,24 @@ def _encode_timestamps_codes(ts: np.ndarray) -> tuple[list, list]:
     lens[b9] = 12
     codes[b12] = (np.uint64(0b1110) << _U64(12)) | (udod[b12] & _U64(0xFFF))
     lens[b12] = 16
-    codes[b32] = (np.uint64(0b1111) << _U64(32)) | (udod[b32] & _U64(0xFFFFFFFF))
-    lens[b32] = 36
-    return [head_codes, first, codes], [head_lens, np.array([64]), lens]
+    codes[b32] = (np.uint64(0b11110) << _U64(32)) | (udod[b32] & _U64(0xFFFFFFFF))
+    lens[b32] = 37
+    # '11111' header + a separate 64-bit payload element (one element cannot
+    # exceed 64 bits) — interleaved like the value stream; zero-length
+    # payload entries for every other class pack to nothing
+    codes[b64] = np.uint64(0b11111)
+    lens[b64] = 5
+    pay = np.zeros(m, dtype=np.uint64)
+    pay_lens = np.zeros(m, dtype=np.int64)
+    pay[b64] = udod[b64]
+    pay_lens[b64] = 64
+    inter_codes = np.empty(2 * m, dtype=np.uint64)
+    inter_lens = np.empty(2 * m, dtype=np.int64)
+    inter_codes[0::2] = codes
+    inter_lens[0::2] = lens
+    inter_codes[1::2] = pay
+    inter_lens[1::2] = pay_lens
+    return [head_codes, first, inter_codes], [head_lens, np.array([64]), inter_lens]
 
 
 def decode_timestamps(r: _BitReader, n: int) -> np.ndarray:
@@ -155,8 +172,10 @@ def decode_timestamps(r: _BitReader, n: int) -> np.ndarray:
                 bits, dod = 9, r.read(9)
             elif r.read(1) == 0:
                 bits, dod = 12, r.read(12)
-            else:
+            elif r.read(1) == 0:
                 bits, dod = 32, r.read(32)
+            else:
+                bits, dod = 64, r.read(64)  # escape class: raw 64-bit dod
             if dod >= 1 << (bits - 1):
                 dod -= 1 << bits
         delta += dod

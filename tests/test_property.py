@@ -1,0 +1,158 @@
+"""Property-based tests (hypothesis) for the pure-Python kernels: the
+Gorilla/delta-of-delta codec, the XLSX codec, the multimodal decoders, and
+the rolling-window oracle math vs naive reimplementations."""
+
+import struct
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from series_correction_project_updated_spark.functions import compress as codec
+from series_correction_project_updated_spark.functions.xlsx import decode_xlsx, encode_xlsx
+from series_correction_project_updated_spark.operators.multimodal import _decode_payload
+from series_correction_project_updated_spark.oracle import correction as oracle
+
+# --- Gorilla codec: bit-exact roundtrip for ANY doubles -----------------------
+
+finite_or_special = st.one_of(
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.just(float("nan")),
+    st.just(float("inf")),
+    st.just(float("-inf")),
+    st.just(0.0),
+    st.just(-0.0),
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=300),
+    st.data(),
+)
+def test_gorilla_roundtrip_any_values(ts_raw, data):
+    ts = np.unique(np.asarray(ts_raw, dtype=np.int64))
+    vals = np.array(
+        data.draw(
+            st.lists(finite_or_special, min_size=len(ts), max_size=len(ts))
+        ),
+        dtype=np.float64,
+    )
+    payload = codec.encode_chunk(ts, vals)
+    ts2, vals2 = codec.decode_chunk(payload)
+    assert (ts2 == ts).all()
+    # bit-exact incl. NaN payloads and signed zeros
+    assert (vals2.view(np.uint64) == vals.view(np.uint64)).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(min_value=2, max_value=500), st.integers(min_value=1, max_value=10**6))
+def test_gorilla_regular_timestamps_near_one_bit(n, step):
+    """Regular cadence → delta-of-delta ≈ 0 → ~1 bit per timestamp."""
+    ts = np.arange(n, dtype=np.int64) * step
+    vals = np.full(n, 1.25)
+    payload = codec.encode_chunk(ts, vals)
+    ts2, vals2 = codec.decode_chunk(payload)
+    assert (ts2 == ts).all() and (vals2 == vals).all()
+    if n > 50:  # amortized ≈1 bit/ts + 1 bit/val + heads + chunk framing
+        assert len(payload) * 8 < 64 * 6 + 3 * n
+
+# --- XLSX codec ---------------------------------------------------------------
+
+cell = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs", "Cc"),  # no surrogates/control chars in XML
+        ),
+        max_size=40,
+    ),
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(min_value=1, max_value=8), st.integers(min_value=1, max_value=12), st.data())
+def test_xlsx_roundtrip_property(n_cols, n_rows, data):
+    header = [f"c{i}" for i in range(n_cols)]
+    rows = [header] + [
+        data.draw(st.lists(cell, min_size=n_cols, max_size=n_cols))
+        for _ in range(n_rows)
+    ]
+    _name, back = decode_xlsx(encode_xlsx(rows))
+    assert back[0] == header
+    for want, got in zip(rows[1:], back[1:]):
+        for w, g in zip(want, got):
+            if w is None or (isinstance(w, str) and w == ""):
+                assert g is None or g == ""
+            elif isinstance(w, bool):
+                assert g is w
+            elif isinstance(w, float):
+                assert g == w
+            else:
+                assert g == w
+
+# --- multimodal decoders ------------------------------------------------------
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(min_value=1, max_value=40), st.integers(min_value=1, max_value=40), st.randoms())
+def test_bmp_decode_property(w, h, rnd):
+    rng = np.random.default_rng(rnd.randint(0, 2**31))
+    gray = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for row in gray[::-1]:
+        line = np.repeat(row, 3).astype(np.uint8).tobytes()
+        body += line + b"\x00" * (stride - len(line))
+    offset = 14 + 40
+    hdr = b"BM" + struct.pack("<IHHI", offset + len(body), 0, 0, offset)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+    kind, gw, gh, _nf, _sr, out = _decode_payload(bytes(hdr + info + body))
+    assert (kind, gw, gh) == ("image", w, h)
+    assert (out == gray.ravel()).all()
+
+# --- oracle rolling windows vs naive definitions ------------------------------
+
+
+def _naive_center_median(values, w):
+    pad_l = w // 2
+    pad_r = w - 1 - pad_l
+    padded = np.concatenate([np.full(pad_l, np.nan), values, np.full(pad_r, np.nan)])
+    return np.array([np.median(padded[i : i + w]) for i in range(len(values))])
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+            st.just(float("nan")),
+        ),
+        min_size=5,
+        max_size=120,
+    )
+)
+def test_rolling_center_median_matches_naive(vals):
+    v = np.asarray(vals, dtype=np.float64)
+    got = oracle._rolling_center_median(v, 5)
+    want = _naive_center_median(v, 5)
+    assert ((got == want) | (np.isnan(got) & np.isnan(want))).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=6, max_size=100),
+    st.integers(min_value=0, max_value=10**6),
+)
+def test_process_series_deterministic_and_sorted(vals, seed):
+    rng = np.random.default_rng(seed)
+    t = np.sort(rng.uniform(0, 1e6, len(vals)))
+    df = pd.DataFrame({"t": t, "value": vals})
+    a = oracle.process_series(df, "t", "value")
+    b = oracle.process_series(df.sample(frac=1.0, random_state=1), "t", "value")
+    # input row order must not matter; output sorted by time
+    pd.testing.assert_frame_equal(a, b)
+    assert (np.diff(a["t"].to_numpy()) >= 0).all()
