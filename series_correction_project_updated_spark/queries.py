@@ -1158,6 +1158,52 @@ FROM fp GROUP BY f HAVING count(*) > 1 ORDER BY rep_doc_id
 """
 
 
+def q_excel_roundtrip(spark, sf_dir):
+    """S3/K1 end-to-end: the first 200 documents' numeric columns are
+    written to FOUR xlsx workbooks through the sanitized sink
+    (sources.excel.write_excel_safely), read back with the DISTRIBUTED xlsx
+    scan (read_excel_files: binaryFile + executor-side stdlib decode), and
+    aggregated — while DuckDB computes the same aggregate straight from the
+    parquet table. A value match proves the whole Excel write→read cycle is
+    lossless, not just unit-tested."""
+    import os
+    import zlib
+
+    from .sources.excel import read_excel_files, write_excel_safely
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+        .limit(200)
+    )
+    out_dir = f"/tmp/sg_xlsx_{zlib.crc32(sf_dir.encode()) & 0xFFFFFF:06x}"
+    os.makedirs(out_dir, exist_ok=True)
+    for part in range(4):
+        write_excel_safely(
+            docs.where(F.col("doc_id") % 4 == part).orderBy("doc_id"),
+            os.path.join(out_dir, f"part_{part}.xlsx"),
+            f"Part{part}",
+        )
+    back = read_excel_files(spark, os.path.join(out_dir, "*.xlsx"), numeric=True)
+    return (
+        back.groupBy((F.col("doc_id") % 10).cast("long").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("bucket")
+    )
+
+
+SQL_EXCEL_ROUNDTRIP = """
+WITH head AS (SELECT doc_id, n_chars FROM documents ORDER BY doc_id LIMIT 200)
+SELECT CAST(doc_id % 10 AS BIGINT) AS bucket, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM head GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_dedup_resolve(spark, sf_dir):
     """Near-dup GROUP resolution via iterative connected components
     (operators.components) — pairs in, transitive groups out. Two planted
@@ -1477,4 +1523,5 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q_compare_raw_corrected": (q_compare_raw_corrected, None),
     "q_overview_table": (q_overview_table, SQL_OVERVIEW),
     "q_dedup_resolve": (q_dedup_resolve, SQL_DEDUP_RESOLVE),
+    "q_excel_roundtrip": (q_excel_roundtrip, SQL_EXCEL_ROUNDTRIP),
 }
