@@ -27,7 +27,13 @@ import struct
 
 import numpy as np
 
-MAGIC = b"GOR1"
+# Format v2: the r2 overflow fix split the old '1111'+32b dod class into
+# '11110'+32b / '11111'+64b — an incompatible bitstream change, so the magic
+# was bumped (GOR1 payloads would otherwise silently mis-decode: the old
+# 32-bit class's MSB would be consumed as the new class bit). GOR1 payloads
+# remain decodable via a legacy branch in ``decode_timestamps``.
+MAGIC = b"GOR2"
+MAGIC_V1 = b"GOR1"
 
 _U64 = np.uint64
 _ONE = np.uint64(1)
@@ -152,7 +158,7 @@ def _encode_timestamps_codes(ts: np.ndarray) -> tuple[list, list]:
     return [head_codes, first, inter_codes], [head_lens, np.array([64]), inter_lens]
 
 
-def decode_timestamps(r: _BitReader, n: int) -> np.ndarray:
+def decode_timestamps(r: _BitReader, n: int, legacy_v1: bool = False) -> np.ndarray:
     out = np.empty(n, dtype=np.int64)
     first = r.read(64)
     if first >= 1 << 63:
@@ -172,6 +178,8 @@ def decode_timestamps(r: _BitReader, n: int) -> np.ndarray:
                 bits, dod = 9, r.read(9)
             elif r.read(1) == 0:
                 bits, dod = 12, r.read(12)
+            elif legacy_v1:
+                bits, dod = 32, r.read(32)  # GOR1: '1111'+32b, no class bit
             elif r.read(1) == 0:
                 bits, dod = 32, r.read(32)
             else:
@@ -279,8 +287,11 @@ def encode_chunk(ts: np.ndarray, values: np.ndarray) -> bytes:
 
 
 def decode_chunk(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
-    assert payload[:4] == MAGIC, "bad magic"
+    magic = payload[:4]
+    assert magic in (MAGIC, MAGIC_V1), "bad magic"
     n, tlen = struct.unpack("<IQ", payload[4:16])
-    ts = decode_timestamps(_BitReader(payload[16 : 16 + tlen]), n)
+    ts = decode_timestamps(
+        _BitReader(payload[16 : 16 + tlen]), n, legacy_v1=magic == MAGIC_V1
+    )
     vals = decode_values(_BitReader(payload[16 + tlen :]), n)
     return ts, vals

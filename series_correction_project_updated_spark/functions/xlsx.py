@@ -80,7 +80,9 @@ def encode_xlsx(rows: list[list], sheet_name: str = "Sheet1") -> bytes:
     workbook = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         f'<workbook xmlns="{_NS}" xmlns:r="{_REL_NS}"><sheets>'
-        f'<sheet name="{escape(sheet_name)}" sheetId="1" r:id="rId1"/>'
+        # attribute context: escape() alone leaves double quotes intact and a
+        # name like 'Q "raw"' (legal in Excel) would corrupt workbook.xml
+        f'<sheet name="{escape(sheet_name, {chr(34): "&quot;"})}" sheetId="1" r:id="rId1"/>'
         "</sheets></workbook>"
     )
     buf = io.BytesIO()

@@ -44,6 +44,12 @@ def connected_components(
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
     )
+    # Cut the edge lineage ONCE: `edges` participates in every iteration's
+    # join, and without this the full upstream pair-generation pipeline
+    # (at corpus scale: the whole LSH candidate stage) would re-execute per
+    # iteration — O(diameter) full dedup runs instead of O(diameter) cheap
+    # joins (round-2 verdict, What's wrong #3).
+    edges = edges.localCheckpoint()
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "component", F.col("id")
     )

@@ -69,7 +69,9 @@ def compress_rollup(
                 "series_key": out_keys,
                 "tier": tier,
                 "chunk_start": out_starts,
-                "codec": "gorilla-dod-xor",
+                # v2: 64-bit dod escape class (payload magic GOR2); v1
+                # payloads stay readable via decode_chunk's legacy branch
+                "codec": "gorilla-dod-xor-v2",
                 "n_points": out_n,
                 "payload": out_payload,
             }

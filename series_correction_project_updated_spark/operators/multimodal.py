@@ -9,10 +9,11 @@ per-row Python.
 ``_decode_payload`` is a REAL decoder for the dependency-free public
 formats — PPM/PGM (netpbm P6/P5), uncompressed 24-bit BMP, and PCM-16 WAV —
 parsed with struct/NumPy alone, plus the deterministic ``FAKE`` container
-(``make_fake_media``) for seedable test data. Compressed codecs (JPEG/PNG/
-MP3/H.264) need libraries absent from this container, so that path stays
-import-gated: with PIL installed it would decode, here it raises
-``NotImplementedError`` with a clear message. The Spark-side plumbing
+(``make_fake_media``) for seedable test data. Compressed image codecs
+(JPEG/PNG/...) decode through Pillow when it is importable (grayscale
+byte-plane, same feature shape as the native decoders); without PIL that
+path raises ``NotImplementedError`` with a clear message — this container
+ships no codec libraries. The Spark-side plumbing
 (schema, partitioning, UDF signature, batch shape) is identical for every
 container kind.
 
@@ -23,6 +24,7 @@ FAKE container layout (deterministic, seedable):
 
 from __future__ import annotations
 
+import io
 import struct
 from collections.abc import Iterator
 
@@ -182,15 +184,20 @@ def _decode_payload(payload: bytes) -> tuple[str, int, int, int, int, np.ndarray
         return _decode_bmp(payload)
     if payload[:4] == b"RIFF":
         return _decode_wav(payload)
-    try:  # pragma: no cover - compressed codec path, libs not in container
-        import PIL.Image  # noqa: F401
+    try:
+        import PIL.Image
     except ImportError:
         raise NotImplementedError(
             "compressed codecs (JPEG/PNG/...) need libraries not present "
             "here; PPM/PGM, uncompressed BMP, PCM WAV and the FAKE container "
             "decode natively"
         ) from None
-    raise NotImplementedError("compressed codec path not implemented")
+    # real Pillow path (exercised when PIL is installed — see
+    # tests/test_multimodal_codecs.py::test_pil_path, importorskip-gated):
+    # decode to 8-bit grayscale so features match the native decoders' shape
+    img = PIL.Image.open(io.BytesIO(payload)).convert("L")
+    body = np.asarray(img, dtype=np.uint8).ravel()
+    return "image", img.width, img.height, 1, 0, body
 
 
 def extract_media_features(media: DataFrame, num_partitions: int | None = None) -> DataFrame:

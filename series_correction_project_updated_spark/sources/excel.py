@@ -8,8 +8,9 @@ surfaces on Spark using the repo's own stdlib XLSX codec
 (``functions/xlsx.py``):
 
 * ``read_excel_files`` — DISTRIBUTED scan: ``binaryFile`` source (one row
-  per workbook), schema inferred from ONE driver-side header peek (bounded:
-  a single file's header row, not data), then every workbook decoded
+  per workbook), schema inferred from ONE bounded header peek routed through
+  the same binaryFile source (so globs resolve via the Hadoop FileSystem
+  API and the scan works on object storage), then every workbook decoded
   executor-side in ``mapInPandas``. Many small files parallelize across the
   cluster exactly like the whitespace source.
 * ``write_excel_safely`` — report sink: sheet-name validation (F8) +
@@ -21,7 +22,6 @@ surfaces on Spark using the repo's own stdlib XLSX codec
 
 from __future__ import annotations
 
-import glob as _glob
 import math
 from collections.abc import Iterator
 
@@ -61,13 +61,18 @@ def read_excel_files(
     behavior); otherwise everything is stringified. A ``source_file``
     column carries provenance, like the whitespace source.
     """
-    paths = sorted(_glob.glob(path_glob))
-    if not paths:
+    # Schema peek through the SAME distributed source as the scan itself —
+    # binaryFile resolves the glob via the Hadoop FileSystem API, so this
+    # works on object storage (s3a://, hdfs://) where a driver-local
+    # glob/open would see nothing (round-2 verdict #7 / ADVICE). The peek is
+    # bounded: one workbook's bytes, smallest path first for determinism.
+    files = spark.read.format("binaryFile").load(path_glob).select("path", "content")
+    head = files.orderBy("path").limit(1).collect()
+    if not head:
         raise FileNotFoundError(f"no xlsx files match {path_glob!r}")
-    with open(paths[0], "rb") as f:
-        _sheet, head_rows = decode_xlsx(f.read())
+    _sheet, head_rows = decode_xlsx(bytes(head[0]["content"]))
     if not head_rows:
-        raise ValueError(f"{paths[0]}: empty workbook")
+        raise ValueError(f"{head[0]['path']}: empty workbook")
     header = [str(h) for h in head_rows[0]]
 
     cell_type = T.DoubleType() if numeric else T.StringType()
@@ -96,7 +101,6 @@ def read_excel_files(
                     recs.append([path] + vals)
                 yield pd.DataFrame(recs, columns=["source_file"] + header)
 
-    files = spark.read.format("binaryFile").load(path_glob).select("path", "content")
     return files.mapInPandas(_parse, schema=schema)
 
 

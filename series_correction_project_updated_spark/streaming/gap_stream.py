@@ -85,6 +85,14 @@ def detect_gaps_stream(
         for t in ts:
             if last_t is not None:
                 delta = float(t - last_t)
+                if delta <= 0:
+                    # A row from a later micro-batch arriving with t ≤ the
+                    # stored last_t (cross-batch disorder). The batch
+                    # detector never sees non-positive deltas (it sorts
+                    # globally); appending them would skew the running
+                    # median down and cause spurious gap flags. Skip the
+                    # row and keep last_t monotone.
+                    continue
                 if len(deltas) >= 4:  # enough history for a median estimate
                     med = float(np.median(deltas))
                     if med > 0 and delta > threshold_factor * med:

@@ -42,3 +42,29 @@ def test_drop_duplicates_by_pairs(spark):
     out = drop_duplicates_by_pairs(docs, _pairs(spark, [(1, 2), (2, 3)]))
     kept = sorted(r.doc_id for r in out.collect())
     assert kept == [1, 4, 5, 99]  # 2,3 dropped; isolated docs kept
+
+
+def test_edge_pipeline_executes_once(spark):
+    """The upstream pair-generation pipeline must run ONCE, not once per
+    iteration (r2 verdict #3): edges are localCheckpoint'ed before the loop.
+    A long chain forces many label-propagation iterations; an accumulator in
+    a UDF on the pair source counts upstream executions."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf(T.LongType())
+    def tick(x):
+        acc.add(1)
+        return x
+
+    n = 12
+    raw = _pairs(spark, [(i, i + 1) for i in range(n)])
+    pairs = raw.select(tick("doc_a").alias("doc_a"), "doc_b")
+    comp = connected_components(pairs, max_iter=30).toPandas()
+    assert set(comp["component"]) == {0}  # one chain, rooted at 0
+    # chain of 13 vertices needs ~log-to-linear iterations; without the edge
+    # checkpoint the source would re-run per iteration (acc >> 2n). The union
+    # evaluates the source twice (both edge directions), hence the 2n bound.
+    assert acc.value <= 2 * n

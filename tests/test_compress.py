@@ -57,3 +57,62 @@ def test_negative_timestamps_and_deltas():
     ts2, vals2 = decode_chunk(encode_chunk(ts, vals))
     np.testing.assert_array_equal(ts, ts2)
     np.testing.assert_array_equal(vals, vals2)
+
+
+def _encode_v1_timestamps(ts):
+    """Hand-rolled GOR1 (pre-escape-class) timestamp bitstream: the old
+    format's '1111'+32b top class, no 5th class bit."""
+    bits = []
+
+    def emit(v, n):
+        bits.append(format(v & ((1 << n) - 1), f"0{n}b"))
+
+    emit(int(ts[0]), 64)
+    deltas = np.diff(np.asarray(ts, dtype=np.int64))
+    if len(deltas):
+        d0 = int(deltas[0])
+        emit((d0 << 1) ^ (d0 >> 63), 64)
+    for i in range(1, len(deltas)):
+        dod = int(deltas[i]) - int(deltas[i - 1])
+        if dod == 0:
+            bits.append("0")
+        elif -63 <= dod <= 64:
+            emit((0b10 << 7) | (dod & 0x7F), 9)
+        elif -255 <= dod <= 256:
+            emit((0b110 << 9) | (dod & 0x1FF), 12)
+        elif -2047 <= dod <= 2048:
+            emit((0b1110 << 12) | (dod & 0xFFF), 16)
+        else:
+            emit((0b1111 << 32) | (dod & 0xFFFFFFFF), 36)
+    s = "".join(bits)
+    s += "0" * (-len(s) % 8)
+    return bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
+
+
+def test_gor1_legacy_payloads_still_decode():
+    """Round-2 changed the dod bitstream ('1111'+32b -> '11110'/'11111'
+    classes) and bumped MAGIC to GOR2; persisted GOR1 payloads (e.g. a
+    checkpoint-resumed compressed sink) must still decode exactly, including
+    the old 32-bit top class (ADVICE r2)."""
+    import struct
+
+    from series_correction_project_updated_spark.functions.compress import (
+        _encode_values_codes,
+        _pack_codes,
+    )
+
+    # dods exercise every v1 class: 0, 7b, 9b, 12b and the 32-bit top class
+    deltas = [10, 10, 50, 250, 2000, 1_000_000, -900_000, 10]
+    ts = np.cumsum([1_577_836_800] + deltas).astype(np.int64)
+    vals = np.array([1.5, -2.5, 3.5, 0.0, 0.0, 42.0, np.nan, 7.0, 7.0])
+    tbytes = _encode_v1_timestamps(ts)
+    vbytes = _pack_codes(*_encode_values_codes(vals))
+    payload = b"GOR1" + struct.pack("<IQ", len(ts), len(tbytes)) + tbytes + vbytes
+    ts2, vals2 = decode_chunk(payload)
+    np.testing.assert_array_equal(ts, ts2)
+    np.testing.assert_array_equal(vals.view(np.uint64), vals2.view(np.uint64))
+
+
+def test_v2_payloads_carry_new_magic():
+    payload = encode_chunk(np.array([0, 60], dtype=np.int64), np.array([1.0, 2.0]))
+    assert payload[:4] == b"GOR2"

@@ -106,3 +106,36 @@ def test_distributed_excel_scan(spark, tmp_path):
     # 'bad' coerced to null, numbers preserved
     assert got["Value 2"].isna().sum() == 3
     assert got[got["Time (Seconds)"] == 3.0]["Value 1"].tolist() == [3.0, 13.0, 23.0]
+
+
+def test_sheet_name_with_quotes_roundtrips():
+    """Excel permits double quotes in sheet names; the workbook.xml attribute
+    must escape them or the package is corrupt (ADVICE r2)."""
+    from series_correction_project_updated_spark.functions.xlsx import (
+        decode_xlsx,
+        encode_xlsx,
+    )
+
+    name, rows = decode_xlsx(encode_xlsx([["a", 1.0]], 'Q "raw" & <check>'))
+    assert name == 'Q "raw" & <check>'
+    assert rows == [["a", 1.0]]
+
+
+def test_excel_scan_via_file_uri_glob(spark, tmp_path):
+    """The schema peek goes through binaryFile (Hadoop FileSystem), so a
+    `file:` URI glob — which driver-local glob.glob cannot resolve — works
+    (r2 verdict #7)."""
+    import glob as _g
+
+    from series_correction_project_updated_spark.functions.xlsx import encode_xlsx
+    from series_correction_project_updated_spark.sources.excel import read_excel_files
+
+    for i in range(2):
+        (tmp_path / f"wb{i}.xlsx").write_bytes(
+            encode_xlsx([["t", "value"], [float(i), 10.0 + i]], "S")
+        )
+    uri_glob = f"file:{tmp_path}/*.xlsx"
+    assert _g.glob(uri_glob) == []  # local glob can't see the URI form
+    out = read_excel_files(spark, uri_glob).toPandas().sort_values("t")
+    assert list(out.columns) == ["source_file", "t", "value"]
+    assert out["value"].tolist() == [10.0, 11.0]

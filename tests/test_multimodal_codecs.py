@@ -2,6 +2,7 @@
 24-bit BMP, PCM-16 WAV — hand-encoded payloads, exact pixel/sample checks,
 and an end-to-end mapInPandas pass over a table mixing real containers."""
 
+import importlib.util
 import struct
 
 import numpy as np
@@ -76,8 +77,25 @@ def test_wav_decode_pcm16():
 
 
 def test_compressed_codec_raises_clear_error():
+    if importlib.util.find_spec("PIL") is not None:
+        pytest.skip("PIL installed: compressed codecs decode via the real path")
     with pytest.raises(NotImplementedError, match="compressed codecs"):
         _decode_payload(b"\x89PNG\r\n\x1a\nxxxxxxxx")
+
+
+def test_pil_path():
+    """With Pillow installed the compressed path is REAL: PNG → grayscale
+    byte plane with correct dims (importorskip'd — PIL absent here)."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, (5, 9), dtype=np.uint8)
+    buf = io.BytesIO()
+    PIL_Image.fromarray(arr, mode="L").save(buf, format="PNG")
+    kind, w, h, nf, sr, body = _decode_payload(buf.getvalue())
+    assert (kind, w, h) == ("image", 9, 5)
+    assert (body == arr.ravel()).all()
 
 
 def test_real_containers_end_to_end_spark(spark):

@@ -435,3 +435,59 @@ def test_minhash_jaccard_on_candidate_pairs(spark, docs):
     # the exact dup pair must estimate 1.0
     exact = via_pairs[(via_pairs.doc_a == 0) & (via_pairs.doc_b == 1)]
     assert len(exact) == 1 and exact.iloc[0]["jaccard_est"] == 1.0
+
+
+def test_streaming_gap_detect_out_of_order_rows(spark, tmp_path):
+    """A late row (t earlier than the stored last_t) arriving in a LATER
+    micro-batch must not regress per-key state: without the non-positive
+    delta guard, last_t would jump back and the next on-time row would be
+    flagged as a spurious gap (ADVICE r2)."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from series_correction_project_updated_spark.streaming.gap_stream import (
+        detect_gaps_stream,
+    )
+
+    src = tmp_path / "src_ooo"
+    src.mkdir()
+    schema = pa.schema(
+        [("series_key", pa.string()), ("t", pa.float64()), ("value", pa.float64())]
+    )
+
+    def _write(name, ts, mtime):
+        tbl = pa.table(
+            {"series_key": ["a"] * len(ts), "t": ts, "value": [1.0] * len(ts)},
+            schema=schema,
+        )
+        path = str(src / name)
+        pq.write_table(tbl, path)
+        os.utime(path, (mtime, mtime))
+
+    now = time.time()
+    # batch 1: regular 10s cadence up to t=300
+    _write("part1.parquet", [float(t) for t in range(10, 310, 10)], now - 60)
+    # batch 2: one LATE row (t=5 < last_t=300), then the cadence continues
+    _write("part2.parquet", [5.0] + [float(t) for t in range(310, 610, 10)], now)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(str(src)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        detect_gaps_stream(stream, threshold_factor=3.0)
+        .writeStream.format("memory")
+        .queryName("gaps_stream_ooo")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT * FROM gaps_stream_ooo").toPandas()
+    # cadence is perfectly regular apart from the late row — no gaps at all;
+    # the old behavior emitted a spurious (t=310, prev_t=5, delta=305) flag
+    assert len(got) == 0, got.to_dict("records")
