@@ -491,3 +491,32 @@ def test_streaming_gap_detect_out_of_order_rows(spark, tmp_path):
     # cadence is perfectly regular apart from the late row — no gaps at all;
     # the old behavior emitted a spurious (t=310, prev_t=5, delta=305) flag
     assert len(got) == 0, got.to_dict("records")
+
+
+def test_simhash_arrow_fold_matches_reference_expr(spark, docs):
+    """The vectorized Arrow bit-fold (production path) must be bit-identical
+    to the single-expression HOF reference on real docs AND edge cases
+    (null/empty text -> 0; negative token hashes exercise bit 0, where the
+    r2 HOF had a sign bug: shiftrightunsigned(h,0)%2 is -1 for negative odd
+    hashes)."""
+    from pyspark.sql import functions as F
+
+    from series_correction_project_updated_spark.operators.dedup import (
+        simhash_expr,
+        simhash_signatures,
+    )
+
+    edge = spark.createDataFrame(
+        [(9001, None), (9002, ""), (9003, "   "), (9004, "one"), (9005, "a b a c")],
+        "doc_id long, text string",
+    )
+    both = docs.select("doc_id", "text").unionByName(edge)
+    ref = both.select("doc_id", simhash_expr("text").alias("ref"))
+    got = simhash_signatures(both).select("doc_id", "simhash")
+    joined = ref.join(got, "doc_id")
+    assert joined.where(F.col("ref") != F.col("simhash")).count() == 0
+    nulls = dict(
+        (r.doc_id, r.simhash)
+        for r in got.where(F.col("doc_id").isin(9001, 9002, 9003)).collect()
+    )
+    assert nulls == {9001: 0, 9002: 0, 9003: 0}
