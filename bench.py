@@ -9,6 +9,17 @@ Headline metric (BASELINE.json): rolled-up points/sec across the 1m/1h/1d
 retention tiers computed from corrected series, plus compressed
 bytes/point. Per-query wall times go in ``queries``.
 
+Steal gating (r2 verdict #1): this VM shows bursty firecracker CPU steal
+that inflated BENCH_r02 per-query numbers up to ~50×. The harness now
+(a) WAITS for a clean window before each timed block (single-thread probe
+≥ ``MIN_PROBE_IPS`` ≈ 75% of the documented clean ~7.4M iters/s),
+(b) re-runs a timed block when its bracketing probes were dirty (per-query
+minimum across sweeps — steal noise is one-sided), and
+(c) stamps ``clean: true/false`` plus every raw probe reading in the JSON,
+so a contended artifact is identifiable and a clean one is credible.
+Set ``SPARK_GRAFT_BENCH_MAX_WAIT`` (seconds, default 600) to bound the
+wait; a run that never sees a clean window emits ``clean: false``.
+
 Scaling evidence (N vs 4N cores) is produced by BENCH/scaling.py, not here —
 this script is the driver's per-round single-config probe.
 """
@@ -28,7 +39,11 @@ from series_correction_project_updated_spark.operators.compress import (  # noqa
     bytes_per_point,
     compress_rollup,
 )
-from series_correction_project_updated_spark.operators.correct import correct_series  # noqa: E402
+from series_correction_project_updated_spark.operators.correct import (  # noqa: E402
+    correct_and_rollup,
+    correct_rollup_lineage,
+    correct_series,
+)
 from series_correction_project_updated_spark.operators.rollup import rollup_all_tiers  # noqa: E402
 from series_correction_project_updated_spark.queries import REGISTRY  # noqa: E402
 from series_correction_project_updated_spark.session import get_spark  # noqa: E402
@@ -55,7 +70,12 @@ BENCH_QUERIES = [
     "q_fingerprint_dups",
     "q_outlier_flags",
     "q_dedup_resolve",
+    "q_gapfill_linear",
 ]
+
+#: documented clean single-thread rate on this box (BENCH/BASELINE.md)
+CLEAN_IPS = 7.4e6
+MIN_PROBE_IPS = 0.75 * CLEAN_IPS
 
 
 def _drain(df) -> int:
@@ -67,13 +87,34 @@ def _cpu_probe(sec: float = 0.5) -> float:
     """Single-thread pure-CPU iterations/sec — a firecracker-steal signal.
 
     Recorded in the output JSON so a contended run is IDENTIFIABLE rather
-    than silently slow (this VM shows bursty CPU steal; r01's driver probe
-    ran 2.5× the in-repo number for exactly this reason)."""
+    than silently slow."""
     t0 = time.perf_counter()
     x = 0
     while time.perf_counter() - t0 < sec:
         x += 1
     return round(x / sec)
+
+
+class _ProbeLog:
+    def __init__(self) -> None:
+        self.readings: list[float] = []
+        self.waited_sec = 0.0
+
+    def probe(self) -> float:
+        p = _cpu_probe()
+        self.readings.append(p)
+        return p
+
+    def wait_clean(self, max_wait: float) -> float:
+        """Block until a probe reads clean or ``max_wait`` elapses; returns
+        the final reading either way."""
+        t0 = time.perf_counter()
+        while True:
+            p = self.probe()
+            if p >= MIN_PROBE_IPS or time.perf_counter() - t0 >= max_wait:
+                self.waited_sec += round(time.perf_counter() - t0, 1)
+                return p
+            time.sleep(15)
 
 
 def _best_of(reps: int, fn) -> tuple[float, list[float]]:
@@ -86,42 +127,10 @@ def _best_of(reps: int, fn) -> tuple[float, list[float]]:
     return min(times), times
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    spark = get_spark(app_name="bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
-    spark.sparkContext.setLogLevel("ERROR")
-
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+def _run_headline(pts) -> tuple[dict, dict, dict]:
+    """The correct→rollup→compress pipeline block. Returns (timings, extra,
+    raw_reps)."""
     timings: dict[str, float] = {}
-
-    # --- headline: correct -> rollup tiers -> compress, on the events table
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
-    pts = events.select(
-        F.col("user_id").cast("string").alias("series_key"),
-        (F.unix_millis(F.col("ts").cast("timestamp")) / 1000.0).alias("t"),
-        "value",
-    )
-    from series_correction_project_updated_spark.operators.correct import (
-        correct_and_rollup,
-        correct_rollup_lineage,
-    )
-
-    probe_start = _cpu_probe()
-
-    # Materialize input and JIT-warm the Python workers OUTSIDE the timed
-    # windows (same protocol as BENCH/scaling.py): the first kernel job
-    # otherwise pays parquet-footer reads + Arrow worker spin-up, which
-    # inverted fused-vs-staged comparisons by up to 40% on this VM. The
-    # warmup covers BOTH kernel shapes (plain and fused) so neither timed
-    # section is the first of its plan shape.
-    pts.cache()
-    pts.count()
-    correct_series(pts.limit(50_000)).count()
-    correct_and_rollup(pts.limit(50_000), "1m").count()
-
-    # kernel-heavy sections run best-of-2 (steal noise is one-sided); raw
-    # reps are reported so the driver's number is interpretable either way
     raw_reps: dict[str, list[float]] = {}
 
     n_points = 0
@@ -183,15 +192,101 @@ def main() -> None:
     tiers["1m"].unpersist()
     tiers["1h"].unpersist()
 
-    # --- per-query timings
+    extra = {
+        "rolled_points_total": total_rolled,
+        "rolled_points_per_sec": round(total_rolled / pipeline_sec, 1),
+        "corrected_points": n_points,
+        "corrected_points_per_sec": round(n_points / t_correct, 1),
+        "compressed_bytes_per_point_1m": round(bpp, 3) if bpp else None,
+        "fused_rolled_points_1m": n_fused,
+        "fused_rolled_points_per_sec": round(n_fused / t_fused, 1),
+        "fused_lineage_rows_1m": n_fused_lineage,
+        "fused_lineage_sec": round(t_fused_lineage, 3),
+    }
+    return timings, extra, raw_reps
+
+
+def _run_sweep(spark, sf_dir) -> dict[str, float]:
+    timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn, _sql = REGISTRY[name]
         t0 = time.perf_counter()
         _drain(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+    return timings
 
-    probe_end = _cpu_probe()
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT", "600"))
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    probes = _ProbeLog()
+
+    # --- headline: correct -> rollup tiers -> compress, on the events table
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = events.select(
+        F.col("user_id").cast("string").alias("series_key"),
+        (F.unix_millis(F.col("ts").cast("timestamp")) / 1000.0).alias("t"),
+        "value",
+    )
+
+    # Materialize input and JIT-warm the Python workers OUTSIDE the timed
+    # windows (same protocol as BENCH/scaling.py): the first kernel job
+    # otherwise pays parquet-footer reads + Arrow worker spin-up, which
+    # inverted fused-vs-staged comparisons by up to 40% on this VM. The
+    # warmup covers BOTH kernel shapes (plain and fused) so neither timed
+    # section is the first of its plan shape.
+    pts.cache()
+    pts.count()
+    correct_series(pts.limit(50_000)).count()
+    correct_and_rollup(pts.limit(50_000), "1m").count()
+
+    # headline block: wait for a clean window, run, check the bracket; one
+    # retry if the bracket was dirty
+    headline_attempts = 0
+    while True:
+        headline_attempts += 1
+        p_before = probes.wait_clean(max_wait)
+        timings, extra, raw_reps = _run_headline(pts)
+        p_after = probes.probe()
+        headline_clean = min(p_before, p_after) >= MIN_PROBE_IPS
+        if headline_clean or headline_attempts >= 2:
+            break
+
+    # per-query sweeps: repeat while the bracket is dirty (≤3 sweeps),
+    # keep the per-query MINIMUM across sweeps
+    sweep_raw: list[dict[str, float]] = []
+    sweep_clean = False
+    for _ in range(3):
+        p_before = probes.wait_clean(max_wait)
+        sweep_raw.append(_run_sweep(spark, sf_dir))
+        p_after = probes.probe()
+        if min(p_before, p_after) >= MIN_PROBE_IPS:
+            sweep_clean = True
+            break
+    for name in BENCH_QUERIES:
+        timings[name] = min(s[name] for s in sweep_raw)
+
     total = round(sum(timings.values()), 3)
+    extra.update(
+        {
+            "cpus": cpus,
+            "warmup": "input cached + both kernel shapes pre-run",
+            "raw_reps_sec": raw_reps,
+            "sweeps": len(sweep_raw),
+            "sweep_raw_sec": sweep_raw if len(sweep_raw) > 1 else None,
+            "steal_probe_ips": {
+                "all": probes.readings,
+                "min_clean_ips": MIN_PROBE_IPS,
+                "waited_sec": probes.waited_sec,
+            },
+            "headline_attempts": headline_attempts,
+        }
+    )
     print(
         json.dumps(
             {
@@ -200,21 +295,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "extra": {
-                    "rolled_points_total": total_rolled,
-                    "rolled_points_per_sec": round(total_rolled / pipeline_sec, 1),
-                    "corrected_points": n_points,
-                    "corrected_points_per_sec": round(n_points / t_correct, 1),
-                    "compressed_bytes_per_point_1m": round(bpp, 3) if bpp else None,
-                    "fused_rolled_points_1m": n_fused,
-                    "fused_rolled_points_per_sec": round(n_fused / t_fused, 1),
-                    "fused_lineage_rows_1m": n_fused_lineage,
-                    "fused_lineage_sec": round(t_fused_lineage, 3),
-                    "cpus": cpus,
-                    "warmup": "input cached + both kernel shapes pre-run",
-                    "raw_reps_sec": raw_reps,
-                    "steal_probe_ips": {"start": probe_start, "end": probe_end},
-                },
+                "clean": bool(headline_clean and sweep_clean),
+                "extra": extra,
             }
         )
     )

@@ -91,20 +91,41 @@ def lsh_topk(
     k: int = 10,
     n_planes: int = 8,
     seed: int = 42,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates = same LSH bucket, exact cosine re-rank
-    inside. Recall grows with fewer planes (bigger buckets)."""
-    v = lsh_bucket(with_norm(vectors, vec_col), "_emb", dim, n_planes, seed).select(
-        F.col(id_col).alias("neighbor_id"), F.col("_emb").alias("eb"), F.col("_nrm").alias("nb"), "bucket"
+    """Approximate top-k: candidates = same LSH bucket in ANY of ``n_tables``
+    independent hash tables (OR-amplification — the standard multi-table LSH
+    construction), exact cosine re-rank over the deduped candidate set.
+
+    Recall tuning: fewer planes ⇒ bigger buckets (higher recall per table);
+    more tables ⇒ miss probability (1−p^planes)^tables decays geometrically.
+    Each table is a seeded independent hyperplane set; candidate generation
+    stays an equi-join on (table, bucket) — tiny rows, sub-quadratic, and the
+    per-table joins union before ONE distinct + re-rank."""
+    vn = with_norm(vectors, vec_col)
+    qn = with_norm(queries, vec_col)
+    cand = None
+    for t in range(n_tables):
+        v = lsh_bucket(vn, "_emb", dim, n_planes, seed + t).select(
+            F.col(id_col).alias("neighbor_id"), F.col("bucket")
+        )
+        q = lsh_bucket(qn, "_emb", dim, n_planes, seed + t).select(
+            F.col(id_col).alias("query_id"), F.col("bucket")
+        )
+        p = q.join(v, "bucket").select("query_id", "neighbor_id")
+        cand = p if cand is None else cand.union(p)
+    cand = cand.where(F.col("query_id") != F.col("neighbor_id")).distinct()
+    v_full = vn.select(
+        F.col(id_col).alias("neighbor_id"), F.col("_emb").alias("eb"), F.col("_nrm").alias("nb")
     )
-    q = lsh_bucket(with_norm(queries, vec_col), "_emb", dim, n_planes, seed).select(
-        F.col(id_col).alias("query_id"), F.col("_emb").alias("ea"), F.col("_nrm").alias("na"), "bucket"
+    q_full = qn.select(
+        F.col(id_col).alias("query_id"), F.col("_emb").alias("ea"), F.col("_nrm").alias("na")
     )
     pairs = (
-        q.join(v, "bucket")
-        .where(F.col("query_id") != F.col("neighbor_id"))
+        cand.join(q_full, "query_id")
+        .join(v_full, "neighbor_id")
         .withColumn("cosine", _dot("ea", "eb") / (F.col("na") * F.col("nb")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

@@ -1377,17 +1377,22 @@ def q_compare_raw_corrected(spark, sf_dir):
     """Raw-vs-corrected QA table (reference export_comparisons,
     export_comparison_sheets.py:191-263): full-outer join on (series, t)
     with raw/corrected values side by side, diff, changed, and fresh outlier
-    flags on the raw side. Corrected side is the (non-SQL-expressible)
-    3-step kernel, so rows-only here; the join/flags shape is oracle-checked
-    via q_outlier_flags and the merge semantics pinned in tests. Aggregated
-    per series to keep the driver check compact."""
+    flags on the raw side. The corrected side here is the SQL-expressible
+    global-MAD variant (r2 verdict #5), so the full merge + fresh-flag
+    semantics — the actual reference behavior under test — are DuckDB
+    value-checked end to end; the 3-step-kernel variant of the same merge is
+    exercised rows-only by q_correct_series + pytest. Aggregated per series
+    to keep the driver check compact."""
     from .operators.compare import compare_raw_corrected
-    from .operators.correct import correct_series
+    from .operators.correct import global_mad_correct_native
 
     raw = _event_points(spark, sf_dir).select(
         F.col("user_id").cast("string").alias("series_key"), "t", "value"
     )
-    cmp_df = compare_raw_corrected(raw, correct_series(raw))
+    corrected = global_mad_correct_native(raw, threshold=3.0).select(
+        "series_key", "t", F.col("corrected").alias("value")
+    )
+    cmp_df = compare_raw_corrected(raw, corrected)
     return (
         cmp_df.groupBy("series_key")
         .agg(
@@ -1399,6 +1404,182 @@ def q_compare_raw_corrected(spark, sf_dir):
             F.round(F.sum(F.abs("diff")), 4).alias("total_abs_diff"),
         )
         .orderBy("series_key")
+    )
+
+
+SQL_COMPARE_RAW_CORRECTED = """
+WITH pts AS (
+  SELECT CAST(user_id AS VARCHAR) AS series_key, epoch_ms(ts)/1000.0 AS t, value
+  FROM events
+),
+med AS (SELECT series_key, median(value) AS gmedian FROM pts GROUP BY series_key),
+mad AS (SELECT p.series_key, greatest(median(abs(p.value - m.gmedian)), 0.0001) AS gmad
+        FROM pts p JOIN med m USING (series_key) GROUP BY p.series_key),
+corr AS (
+  SELECT p.series_key, p.t, p.value,
+         CASE WHEN 0.6745 * abs(p.value - m.gmedian) / d.gmad > 3.0
+              THEN m.gmedian ELSE p.value END AS corrected
+  FROM pts p JOIN med m USING (series_key) JOIN mad d USING (series_key)
+),
+w AS (
+  SELECT series_key, t, value, corrected,
+         count(*) OVER win AS n_rows_w,
+         count(value) OVER win AS n_vals,
+         list(value) OVER win AS arr
+  FROM corr
+  WINDOW win AS (PARTITION BY series_key ORDER BY t
+                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+),
+m2 AS (
+  SELECT series_key, t, value, corrected, arr,
+         (n_rows_w = 5 AND n_vals = 5) AS is_full,
+         list_sort(list_filter(arr, x -> x IS NOT NULL))[3] AS rmed
+  FROM w
+),
+z AS (
+  SELECT series_key, value, corrected, is_full,
+         abs(value - rmed) AS adiff,
+         1.4826 * list_sort(list_transform(list_filter(arr, x -> x IS NOT NULL),
+                                           x -> abs(x - rmed)))[3] AS smad
+  FROM m2
+)
+SELECT series_key,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(0) AS BIGINT) AS n_inserted,
+       CAST(sum(0) AS BIGINT) AS n_dropped,
+       CAST(sum(CASE WHEN corrected IS DISTINCT FROM value THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_changed,
+       CAST(sum(CASE WHEN coalesce(is_full AND (CASE WHEN smad < 1e-6
+                                                     THEN adiff > 3.0 * 1e-6
+                                                     ELSE adiff / smad > 3.0 END),
+                              FALSE)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(sum(abs(corrected - value)), 4) AS total_abs_diff
+FROM z GROUP BY series_key ORDER BY series_key
+"""
+
+
+def q_gapfill_linear(spark, sf_dir):
+    """The gap-fill half of the correction kernel under a restricted config
+    (outlier/jump detection disabled via threshold=1e18), giving the Arrow
+    kernel its first independent driver value-check (r2 verdict #4): median
+    time-delta gap detection, linspace row synthesis
+    (discontinuity_utils.py:28-141 semantics: step from the interval before
+    the gap, num_missing = round_even(span/step)-1, endpoint-pinned
+    linspace), and pandas positional linear interpolation — all reproduced
+    in ANSI SQL by the oracle.
+
+    Outputs are quantized with floor(x*scale+0.5)/scale rather than
+    round(): the synthesized times/values land on exact binary half-
+    boundaries (gap spans divide by powers of two), where Spark HALF_UP and
+    DuckDB rounding disagree; the floor form is deterministic identical
+    IEEE arithmetic on both engines."""
+    from .operators.correct import correct_series
+
+    pts = _event_points(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("series_key"), "t", "value"
+    )
+    out = correct_series(pts, config={"threshold": 1e18})
+    return out.select(
+        "series_key",
+        (F.floor(F.col("t") * 1000 + F.lit(0.5)) / 1000).alias("t"),
+        (F.floor(F.col("value") * 1000000 + F.lit(0.5)) / 1000000).alias("value"),
+    ).orderBy("series_key", "t")
+
+
+SQL_GAPFILL = """
+WITH pts AS (
+  SELECT CAST(user_id AS VARCHAR) AS series_key, epoch_ms(ts)/1000.0 AS t, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)) AS rn
+  FROM events
+),
+d AS (
+  SELECT *, t - lag(t) OVER (PARTITION BY series_key ORDER BY rn) AS delta
+  FROM pts
+),
+med AS (
+  SELECT series_key, median(delta) AS med FROM d WHERE delta IS NOT NULL
+  GROUP BY series_key
+),
+g AS (
+  SELECT d.series_key, d.rn,
+         lag(d.t)      OVER w AS t_before,
+         d.t            AS t_after,
+         lag(d.value)   OVER w AS v_before,
+         d.value        AS v_after,
+         lag(d.t, 2)    OVER w AS t_before2,
+         lead(d.t)      OVER w AS t_next,
+         d.delta, m.med
+  FROM d JOIN med m USING (series_key)
+  WINDOW w AS (PARTITION BY d.series_key ORDER BY d.rn)
+),
+g2 AS (
+  SELECT series_key, t_before, t_after, v_before, v_after,
+         CASE WHEN rn > 2 THEN t_before - t_before2
+              WHEN t_next IS NOT NULL THEN t_next - t_after END AS step
+  FROM g WHERE med > 0 AND delta > 3.0 * med
+),
+g3 AS (
+  SELECT *, CAST(round_even((t_after - t_before)/step, 0) AS BIGINT) - 1 AS nm
+  FROM g2 WHERE step IS NOT NULL AND step > 0
+),
+fill AS (
+  SELECT series_key,
+         unnest(generate_series(0, nm - 1)) AS i,
+         t_before, t_after, v_before, v_after, step, nm
+  FROM g3 WHERE nm > 0
+),
+fill2 AS (
+  SELECT series_key,
+         CASE WHEN nm = 1 THEN t_before + step
+              WHEN i = nm - 1 THEN t_after - step
+              ELSE (t_before + step)
+                   + i * (((t_after - step) - (t_before + step)) / (nm - 1)) END AS t,
+         v_before + (i + 1) * ((v_after - v_before) / (nm + 1)) AS value
+  FROM fill
+)
+SELECT series_key,
+       floor(t * 1000 + 0.5) / 1000 AS t,
+       floor(value * 1000000 + 0.5) / 1000000 AS value
+FROM (
+  SELECT series_key, t, value FROM pts
+  UNION ALL SELECT series_key, t, value FROM fill2
+) ORDER BY series_key, t
+"""
+
+
+def q_ivf_recall(spark, sf_dir):
+    """IVF quality value-check (r2 verdict #8): with nprobe = n_centroids
+    (exhaustive probing) the index must return EXACTLY the true top-3 —
+    the oracle is DuckDB's independent brute-force top-3 (SQL_KNN), so the
+    whole IVF machinery (quantizer, cell assignment, candidate join, exact
+    re-rank, tie-break) is hash-checked against ground truth. Production
+    settings (nprobe=3) stay under q_ivf_topk (rows-only + pytest recall)."""
+    from .operators.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    return (
+        ivf_topk(emb, queries_df, k=3, n_centroids=10, nprobe=10)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def q_lsh_recall(spark, sf_dir):
+    """Multi-table LSH quality value-check: 16 independent 2-plane tables
+    (OR-amplification) drive per-pair miss probability low enough that the
+    deterministic seeded index recovers the exact true top-3 on this
+    dataset; the oracle is DuckDB brute force (SQL_KNN). A recall
+    regression in bucketing/rerank breaks the hash match."""
+    from .operators.similarity import lsh_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    return (
+        lsh_topk(emb, queries_df, dim=64, k=3, n_planes=2, n_tables=16)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+        .orderBy("query_id", "rank")
     )
 
 
@@ -1519,8 +1700,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q_embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "q_ivf_topk": (q_ivf_topk, None),
     "q_lsh_topk": (q_lsh_topk, None),
+    "q_ivf_recall": (q_ivf_recall, SQL_KNN),
+    "q_lsh_recall": (q_lsh_recall, SQL_KNN),
+    "q_gapfill_linear": (q_gapfill_linear, SQL_GAPFILL),
     "q_outlier_flags": (q_outlier_flags, SQL_OUTLIER_FLAGS),
-    "q_compare_raw_corrected": (q_compare_raw_corrected, None),
+    "q_compare_raw_corrected": (q_compare_raw_corrected, SQL_COMPARE_RAW_CORRECTED),
     "q_overview_table": (q_overview_table, SQL_OVERVIEW),
     "q_dedup_resolve": (q_dedup_resolve, SQL_DEDUP_RESOLVE),
     "q_excel_roundtrip": (q_excel_roundtrip, SQL_EXCEL_ROUNDTRIP),
