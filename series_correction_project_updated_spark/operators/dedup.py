@@ -203,32 +203,33 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
     same vote rule (bit i of token hash → ±1), same >0 threshold, bit 63 on
     the two's-complement sign position. Empty/NULL text → 0.
     """
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("long")
-    def _fold(hash_arrays: pd.Series) -> pd.Series:
-        lens = np.fromiter((len(a) for a in hash_arrays), dtype=np.int64, count=len(hash_arrays))
-        if lens.sum() == 0:
-            return pd.Series(np.zeros(len(hash_arrays), dtype=np.int64))
-        flat = np.concatenate([np.asarray(a, dtype=np.int64) for a in hash_arrays if len(a)])
-        # (n_tokens, 64) bit matrix: little-endian byte order within each
-        # uint64 word means unpackbits(bitorder='little') column i == bit i
-        bits = np.unpackbits(flat.view(np.uint64).view(np.uint8), bitorder="little")
-        votes = bits.reshape(-1, 64).astype(np.int32) * 2 - 1
-        nonempty = lens > 0
-        offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
-        np.cumsum(lens[nonempty][:-1], out=offsets[1:])
-        sums = np.add.reduceat(votes, offsets, axis=0)
-        packed = np.zeros(len(hash_arrays), dtype=np.uint64)
-        packed[nonempty] = np.packbits(
-            (sums > 0).astype(np.uint8), axis=1, bitorder="little"
-        ).view(np.uint64)[:, 0]
-        return pd.Series(packed.view(np.int64))
-
     sig = docs.select(
-        F.col(id_col), _fold(_token_hashes(text_col)).alias("simhash")
+        F.col(id_col), _simhash_fold(_token_hashes(text_col)).alias("simhash")
     )
     return sig.withColumn("band", F.shiftrightunsigned("simhash", 48).cast("int"))
+
+
+@F.pandas_udf("long")
+def _simhash_fold(hash_arrays: pd.Series) -> pd.Series:
+    """Vectorized SimHash vote fold over per-row token-hash arrays (module
+    scope so the UDF is pickled/registered once, not per query build)."""
+    lens = np.fromiter((len(a) for a in hash_arrays), dtype=np.int64, count=len(hash_arrays))
+    if lens.sum() == 0:
+        return pd.Series(np.zeros(len(hash_arrays), dtype=np.int64))
+    flat = np.concatenate([np.asarray(a, dtype=np.int64) for a in hash_arrays if len(a)])
+    # (n_tokens, 64) bit matrix: little-endian byte order within each
+    # uint64 word means unpackbits(bitorder='little') column i == bit i
+    bits = np.unpackbits(flat.view(np.uint64).view(np.uint8), bitorder="little")
+    votes = bits.reshape(-1, 64).astype(np.int32) * 2 - 1
+    nonempty = lens > 0
+    offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
+    np.cumsum(lens[nonempty][:-1], out=offsets[1:])
+    sums = np.add.reduceat(votes, offsets, axis=0)
+    packed = np.zeros(len(hash_arrays), dtype=np.uint64)
+    packed[nonempty] = np.packbits(
+        (sums > 0).astype(np.uint8), axis=1, bitorder="little"
+    ).view(np.uint64)[:, 0]
+    return pd.Series(packed.view(np.int64))
 
 
 # A third shape was measured and rejected: explode token hashes → 64 per-bit
