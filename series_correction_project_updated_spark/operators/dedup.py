@@ -29,6 +29,27 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Engine-portable 60-bit hash + affine family, used by the ``portable=True``
+# variants so the SAME algorithm can be value-checked against a DuckDB oracle
+# (xxhash64 exists only in Spark; md5 is standard everywhere). h(s) parses the
+# first 15 hex chars of md5(s) (60 bits, always fits signed int64); the K
+# minhash functions are (A[i]*(h mod P) + B[i]) mod P over prime P — the
+# classic universal-hash construction (Carter–Wegman).
+PORTABLE_P = 1_000_000_007
+PORTABLE_A = [1103515245, 69069, 1664525, 22695477, 134775813, 214013, 75, 1140671485]
+PORTABLE_B = [12345, 362437, 1013904223, 1, 7, 2531011, 74, 12820163]
+
+
+def portable_hash60(col: F.Column) -> F.Column:
+    """60-bit md5-prefix hash computable identically in Spark and DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _filtered_words(text_col: str) -> F.Column:
+    """Whitespace tokens with empties dropped — parity with DuckDB
+    ``list_filter(string_split_regex(...), w -> w <> '')``."""
+    return F.expr(f"filter(split(trim(coalesce({text_col}, '')), '\\\\s+'), w -> w != '')")
+
 
 def minhash_signatures(
     docs: DataFrame,
@@ -36,6 +57,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     shingle_k: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, minhash array<long>) — minhash[i] = min over shingles of
     xxhash64(shingle, seed=i). All JVM-side.
@@ -43,11 +65,34 @@ def minhash_signatures(
     Shape: explode shingles once, hash K ways per row, partial-aggregate K
     mins map-side — one pass over the data and a tiny shuffle (K longs per
     doc), instead of K array scans per document.
+
+    ``portable=True`` swaps xxhash64 for the md5-based Carter–Wegman family
+    above (same explode/min-agg plan shape) so the signature values are
+    reproducible in ANSI SQL — the driver's DuckDB oracle checks them
+    (queries.q_minhash_portable). num_hashes ≤ len(PORTABLE_A) in that mode.
     """
-    sh = docs.select(
-        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("w")
-    ).select(F.col(id_col), F.explode(shingles_from_words("w", shingle_k)).alias("s"))
-    mins = [F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    if portable:
+        if num_hashes > len(PORTABLE_A):
+            raise ValueError(f"portable mode supports ≤{len(PORTABLE_A)} hashes")
+        words = F.when(
+            F.size(_filtered_words(text_col)) > 0, _filtered_words(text_col)
+        ).otherwise(F.array(F.lit("")))
+        sh = docs.select(F.col(id_col), words.alias("w")).select(
+            F.col(id_col), F.explode(shingles_from_words("w", shingle_k)).alias("s")
+        )
+        hp = F.pmod(portable_hash60(F.col("s")), F.lit(PORTABLE_P))
+        sh = sh.select(F.col(id_col), hp.alias("hp"))
+        mins = [
+            F.min(
+                F.pmod(F.lit(PORTABLE_A[i]) * F.col("hp") + F.lit(PORTABLE_B[i]), F.lit(PORTABLE_P))
+            ).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        sh = docs.select(
+            F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("w")
+        ).select(F.col(id_col), F.explode(shingles_from_words("w", shingle_k)).alias("s"))
+        mins = [F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
     agg = sh.groupBy(id_col).agg(*mins)
     return agg.select(F.col(id_col), F.array(*[f"h{i}" for i in range(num_hashes)]).alias("minhash"))
 
@@ -68,19 +113,30 @@ def minhash_candidate_pairs(
     bands: int = 8,
     shingle_k: int = 3,
     max_bucket: int = 50,
+    portable: bool = False,
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs.
 
     rows/band = num_hashes/bands; P(candidate) ≈ 1-(1-j^r)^b for Jaccard j.
     Buckets larger than ``max_bucket`` are dropped (boilerplate guard) —
     logged via the ``n_bands`` count on surviving pairs.
+
+    ``portable=True``: md5-based signature family and the band key is the
+    joined value string instead of xxhash64(chunk), so the whole candidate
+    generation is reproducible in the DuckDB oracle (q_minhash_portable).
+    Same plan shape either way: explode bands → bucket-size cap → equi-join.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k)
+    sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k, portable=portable)
     band_cols = []
     for b in range(bands):
         chunk = F.slice("minhash", b * rows_per_band + 1, rows_per_band)
-        band_cols.append(F.struct(F.lit(b).alias("band_idx"), F.xxhash64(chunk).alias("band_hash")))
+        band_hash = (
+            F.concat_ws(",", F.expr(f"transform(slice(minhash, {b * rows_per_band + 1}, {rows_per_band}), x -> cast(x as string))"))
+            if portable
+            else F.xxhash64(chunk)  # long — 8-byte shuffle key on the production path
+        )
+        band_cols.append(F.struct(F.lit(b).alias("band_idx"), band_hash.alias("band_hash")))
     exploded = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")).select(
         F.col(id_col), F.col("bb.band_idx").alias("band_idx"), F.col("bb.band_hash").alias("band_hash")
     )
@@ -146,13 +202,18 @@ def minhash_jaccard_estimate(
 # ---------------------------------------------------------------------------
 
 
-def _token_hashes(text_col: str) -> F.Column:
+def _token_hashes(text_col: str, portable: bool = False) -> F.Column:
     """array<long> of xxhash64(token) per whitespace token — all JVM-side.
     NULL text coalesces to '' so null rows get an EMPTY array (→ simhash 0,
-    the documented behavior; ADVICE r2 null-parity fix)."""
+    the documented behavior; ADVICE r2 null-parity fix).
+
+    ``portable=True``: 60-bit md5-prefix hash instead (DuckDB-reproducible;
+    bits 60–63 are then always 0, so those signature bits vote negative —
+    identical on both engines)."""
+    h = "cast(conv(substr(md5(w), 1, 15), 16, 10) as bigint)" if portable else "xxhash64(w)"
     return F.expr(
         f"transform(filter(split(trim(coalesce({text_col}, '')), '\\\\s+'),"
-        " w -> w != ''), w -> xxhash64(w))"
+        f" w -> w != ''), w -> {h})"
     )
 
 
@@ -187,7 +248,9 @@ def simhash_expr(text_col: str = "text") -> F.Column:
     )
 
 
-def simhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", portable: bool = False
+) -> DataFrame:
     """(id, simhash:long, band:int) — band = top 16 bits, the LSH bucket.
 
     Shape (the r2 perf fix — measured, see BENCH/BASELINE.md): tokens are
@@ -204,7 +267,7 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
     the two's-complement sign position. Empty/NULL text → 0.
     """
     sig = docs.select(
-        F.col(id_col), _simhash_fold(_token_hashes(text_col)).alias("simhash")
+        F.col(id_col), _simhash_fold(_token_hashes(text_col, portable=portable)).alias("simhash")
     )
     return sig.withColumn("band", F.shiftrightunsigned("simhash", 48).cast("int"))
 

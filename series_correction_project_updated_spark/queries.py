@@ -1158,6 +1158,124 @@ FROM fp GROUP BY f HAVING count(*) > 1 ORDER BY rep_doc_id
 """
 
 
+def q_minhash_portable(spark, sf_dir):
+    """MinHash LSH candidate pairs with the engine-portable hash family
+    (md5-prefix + Carter–Wegman affine mods) — the SAME explode → K-min-agg →
+    band equi-join plan as the production xxhash64 path, but every value is
+    reproducible in ANSI SQL, so the driver's DuckDB oracle hash-checks the
+    ALGORITHM (shingling, signature, banding, pair generation) end to end.
+    Closes the r2 'hash-function-specific ⇒ rows-only' caveat: only the hash
+    primitive was engine-specific, not the operator."""
+    from .operators.dedup import minhash_candidate_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return minhash_candidate_pairs(
+        docs,
+        text_col="text",
+        id_col="doc_id",
+        num_hashes=8,
+        bands=4,
+        shingle_k=3,
+        max_bucket=1_000_000_000,
+        portable=True,
+    ).orderBy("doc_a", "doc_b")
+
+
+# Portable MinHash oracle: identical words/shingles/hash-family as
+# operators.dedup (portable=True). P/A/B constants must match PORTABLE_* there.
+SQL_MINHASH_PORTABLE = r"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                     w -> w <> '') AS ws
+  FROM documents
+),
+shingles AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(ws) >= 3
+                THEN list_transform(range(1, len(ws) - 1),
+                                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                ELSE [array_to_string(ws, ' ')] END) AS s
+  FROM words
+),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % 1000000007 AS hp
+  FROM shingles
+),
+sig AS (
+  SELECT doc_id,
+         min((1103515245*hp + 12345)      % 1000000007) AS m0,
+         min((69069*hp + 362437)          % 1000000007) AS m1,
+         min((1664525*hp + 1013904223)    % 1000000007) AS m2,
+         min((22695477*hp + 1)            % 1000000007) AS m3,
+         min((134775813*hp + 7)           % 1000000007) AS m4,
+         min((214013*hp + 2531011)        % 1000000007) AS m5,
+         min((75*hp + 74)                 % 1000000007) AS m6,
+         min((1140671485*hp + 12820163)   % 1000000007) AS m7
+  FROM h GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band_idx, m0::VARCHAR || ',' || m1::VARCHAR AS key FROM sig
+  UNION ALL
+  SELECT doc_id, 1, m2::VARCHAR || ',' || m3::VARCHAR FROM sig
+  UNION ALL
+  SELECT doc_id, 2, m4::VARCHAR || ',' || m5::VARCHAR FROM sig
+  UNION ALL
+  SELECT doc_id, 3, m6::VARCHAR || ',' || m7::VARCHAR FROM sig
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+FROM bands a
+JOIN bands b ON a.band_idx = b.band_idx AND a.key = b.key AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+ORDER BY doc_a, doc_b
+"""
+
+
+def q_simhash_portable(spark, sf_dir):
+    """SimHash signatures with the portable 60-bit md5-prefix token hash —
+    exercises the PRODUCTION Arrow bit-matrix fold (_simhash_fold, unchanged)
+    against a DuckDB oracle that recomputes the per-bit signed votes in pure
+    SQL. Value-checks the vote fold, the >0 threshold, the little-endian bit
+    packing and the top-16-bit banding; only the token-hash primitive differs
+    from q_simhash_buckets' xxhash64 path."""
+    from .operators.dedup import simhash_signatures
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        simhash_signatures(docs, text_col="text", id_col="doc_id", portable=True)
+        .select("doc_id", "simhash", "band")
+        .orderBy("doc_id")
+    )
+
+
+SQL_SIMHASH_PORTABLE = r"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                            w -> w <> '')) AS w
+  FROM documents
+),
+hashes AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM words
+),
+votes AS (
+  SELECT doc_id, i, sum(((h >> i) & 1) * 2 - 1) AS v
+  FROM hashes CROSS JOIN (SELECT unnest(range(0, 60)) AS i) bits
+  GROUP BY doc_id, i
+),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS sh
+  FROM votes GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(s.sh, 0)::BIGINT AS simhash,
+       (coalesce(s.sh, 0) >> 48)::INT AS band
+FROM documents d LEFT JOIN sig s USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def q_excel_roundtrip(spark, sf_dir):
     """S3/K1 end-to-end: the first 200 documents' numeric columns are
     written to FOUR xlsx workbooks through the sanitized sink
@@ -1695,6 +1813,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q_correct_chunked": (q_correct_chunked, None),
     "q_minhash_pairs": (q_minhash_pairs, None),
     "q_simhash_buckets": (q_simhash_buckets, None),
+    # same algorithms with an engine-portable hash primitive → value-checked
+    "q_minhash_portable": (q_minhash_portable, SQL_MINHASH_PORTABLE),
+    "q_simhash_portable": (q_simhash_portable, SQL_SIMHASH_PORTABLE),
     "q_langid": (q_langid, _langid_sql()),
     "q_fingerprint_dups": (q_fingerprint_dups, SQL_FINGERPRINT_DUPS),
     "q_embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
