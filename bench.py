@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     "q_outlier_flags",
     "q_dedup_resolve",
     "q_gapfill_linear",
+    "q_minhash_portable",
+    "q_simhash_portable",
 ]
 
 #: documented clean single-thread rate on this box (BENCH/BASELINE.md)
@@ -85,9 +87,14 @@ CLEAN_IPS = 7.4e6
 MIN_PROBE_IPS = 0.75 * CLEAN_IPS
 
 
-def _drain(df) -> int:
-    """Force full execution without collecting rows to the driver."""
-    return df.count()
+def _drain(df) -> None:
+    """Force FULL execution of every column without collecting to the driver.
+
+    ``.count()`` is not enough: Catalyst prunes final projections under a
+    count (the round-3 'phantom timing' finding — a window/agg expression
+    whose output feeds only a count may never execute). The ``noop`` sink
+    materializes every output column through the complete plan, JVM-side."""
+    df.write.format("noop").mode("overwrite").save()
 
 
 def _cpu_probe(sec: float = 0.5) -> float:
@@ -161,8 +168,12 @@ def _run_headline(pts) -> tuple[dict, dict]:
     tiers = rollup_all_tiers(corrected)
     tiers["1m"].cache()
     tiers["1h"].cache()
-    rolled = {name: _drain(df) for name, df in tiers.items()}
+    for df in tiers.values():
+        _drain(df)
     t_rollup = time.perf_counter() - t0
+    # counts are data-determined — take them OUTSIDE the timed window from
+    # the cached tiers (1d recomputes from the cached 1h parent, cheap)
+    rolled = {name: df.count() for name, df in tiers.items()}
 
     # fused production path: correction + 1m tier in ONE kernel pass
     n_fused = 0

@@ -1598,11 +1598,17 @@ def q_gapfill_linear(spark, sf_dir):
         F.col("user_id").cast("string").alias("series_key"), "t", "value"
     )
     out = correct_series(pts, config={"threshold": 1e18})
-    return out.select(
+    quantized = out.select(
         "series_key",
         (F.floor(F.col("t") * 1000 + F.lit(0.5)) / 1000).alias("t"),
         (F.floor(F.col("value") * 1000000 + F.lit(0.5)) / 1000000).alias("value"),
-    ).orderBy("series_key", "t")
+    )
+    # materialize before the global sort: orderBy's RangePartitioner runs a
+    # SAMPLING pass over its child, which would re-execute the whole Arrow
+    # kernel a second time (measured +47% on this query at sf0.1). The
+    # checkpointed output is 3 narrow columns — cheap to hold, and both the
+    # sample and the sort read it instead of the kernel.
+    return quantized.localCheckpoint().orderBy("series_key", "t")
 
 
 SQL_GAPFILL = """

@@ -181,3 +181,40 @@ def test_fused_correct_and_rollup_matches_staged(spark):
     for c in ["series_key", "bucket_start", "cnt", "vmin", "vmax", "vfirst", "vlast"]:
         pd.testing.assert_series_equal(a[c], b[c], check_dtype=False)
     np.testing.assert_allclose(a["vsum"].to_numpy(), b["vsum"].to_numpy(), rtol=1e-12)
+
+
+def test_gap_method_unknown_raises_from_pandas(series_pdf):
+    """scipy-free proof that the gap_method knob reaches pandas
+    DataFrame.interpolate: an unknown method surfaces pandas' ValueError."""
+    with pytest.raises(ValueError, match="method"):
+        oracle.process_series(
+            series_pdf[series_pdf.series_key == series_pdf.series_key.iloc[0]][["t", "value"]],
+            "t",
+            "value",
+            {"gap_method": "definitely_not_a_method", "threshold": 1e18},
+        )
+
+
+def test_gap_method_parameter_reaches_interpolation(spark, series_pdf):
+    """The reference's interpolation-method knob (processor.py:299 — pandas
+    interpolate 'linear'/'nearest'/'spline'/...) passes through config
+    end-to-end. scipy-backed methods parity-test only where scipy exists
+    (not in this container); the pass-through itself is proven scipy-free:
+    an unknown method must surface pandas' ValueError, so the knob
+    demonstrably reaches DataFrame.interpolate."""
+    pytest.importorskip("scipy")
+    cfg = {"gap_method": "nearest", "threshold": 1e18}
+    sdf = spark.createDataFrame(series_pdf)
+    got = (
+        correct_series(sdf, config=cfg)
+        .orderBy("series_key", "t")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    want = _oracle_all(series_pdf, cfg)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    linear = _oracle_all(series_pdf, {"gap_method": "linear", "threshold": 1e18})
+    assert len(want) == len(linear)
+    assert not np.allclose(
+        want["value"].to_numpy(), linear["value"].to_numpy(), equal_nan=True
+    ), "nearest fill should differ from linear fill on synthesized gap rows"
