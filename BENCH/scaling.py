@@ -162,7 +162,10 @@ def main() -> None:
         *[json.dumps({k: r[k] for k in ("cores", "work_sec", "probe_ips_4n", "dirty")}) for recs in runs.values() for r in recs],
         "```",
     ]
-    path = os.path.join(HERE, "BASELINE.md")
+    # BASELINE.md is the hand-curated evidence doc (multiple invocations
+    # merged + methodology notes) — never clobber it from here. Each run
+    # lands in its own stamped report for manual merging.
+    path = os.path.join(HERE, f"scaling_run_{datetime.now(timezone.utc).strftime('%Y%m%dT%H%M%SZ')}.md")
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(json.dumps({"efficiency": round(eff, 3), "identical": same, "hw": hw["hw_efficiency"], "report": path}))
