@@ -156,3 +156,43 @@ def test_process_series_deterministic_and_sorted(vals, seed):
     # input row order must not matter; output sorted by time
     pd.testing.assert_frame_equal(a, b)
     assert (np.diff(a["t"].to_numpy()) >= 0).all()
+
+
+def _cusum_loop_reference(x: np.ndarray, threshold: float) -> list[int]:
+    """The original scalar CUSUM-reset loop (reference scripts/processor.py:
+    118-199 semantics) — kept HERE as the parity target for the vectorized
+    carry-seeded-cumsum scan that replaced it in the kernel."""
+    out = []
+    cusum = 0.0
+    for i in range(len(x)):
+        cusum += x[i]
+        if abs(cusum) > threshold:
+            out.append(i)
+            cusum = 0.0
+    return out
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-10, max_value=10, allow_nan=False, width=64),
+        min_size=0,
+        max_size=700,
+    ),
+    st.floats(min_value=1e-6, max_value=5.0),
+)
+@settings(max_examples=200, deadline=None)
+def test_cusum_scan_matches_scalar_loop(vals, threshold):
+    x = np.asarray(vals, dtype=np.float64)
+    assert oracle._cusum_resets(x, threshold) == _cusum_loop_reference(x, threshold)
+
+
+@given(st.integers(0, 2**32 - 1))
+@settings(max_examples=50, deadline=None)
+def test_cusum_scan_dense_and_boundary(seed):
+    """Dense triggers (tiny threshold) and |cusum| values engineered close
+    to the threshold — the re-association-sensitive regime."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 3000))
+    x = rng.normal(0, 1, n)
+    for thr in (1e-9, 0.5, float(np.abs(np.cumsum(x)).max() or 1.0)):
+        assert oracle._cusum_resets(x, thr) == _cusum_loop_reference(x, thr)
