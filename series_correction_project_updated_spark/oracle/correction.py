@@ -219,6 +219,43 @@ def _cusum_resets(x: np.ndarray, threshold: float) -> list[int]:
 # ---------------------------------------------------------------------------
 
 
+def _nanmedian_rows(win: np.ndarray) -> np.ndarray:
+    """``np.nanmedian(win, axis=1)`` for small-width 2-D windows, bit-exact,
+    without numpy's masked-array slow path (``_nanmedian_small`` builds a
+    ``np.ma`` array per call — ~0.6 ms of fixed overhead, taken thousands of
+    times per kernel pass).
+
+    Exactness: ``np.sort`` places NaNs last; with ``m`` non-NaN values the
+    median is ``s[(m-1)//2]`` (odd) or ``(s[m//2-1] + s[m//2]) * 0.5``
+    (even) — the same add-then-halve numpy's even case computes (×0.5 and /2
+    are both exact binary-scale ops). All-NaN rows → NaN, matching
+    ``np.nanmedian``'s return (we already suppress its RuntimeWarning).
+    Property-tested against ``np.nanmedian`` over random NaN patterns.
+    """
+    if win.size == 0:
+        return np.full(len(win), np.nan)
+    s = np.sort(win, axis=1)
+    m = (~np.isnan(win)).sum(axis=1)
+    rows = np.arange(len(win))
+    lo = s[rows, np.maximum((m - 1) // 2, 0)]
+    hi = s[rows, np.maximum(m // 2, 0)]
+    with np.errstate(invalid="ignore"):
+        out = (lo + hi) * 0.5
+    out[m == 0] = np.nan
+    return out
+
+
+def _sorted_by_time(df: pd.DataFrame, time_col: str) -> pd.DataFrame:
+    """``df.sort_values(time_col).reset_index(drop=True)``, skipping the
+    sort when the column is already STRICTLY increasing (then quicksort is
+    provably the identity permutation — with ties it may not be, so ties
+    always take the real sort for bit-parity with the reference's sort)."""
+    t = df[time_col].to_numpy()
+    if len(t) > 1 and bool(np.all(np.diff(t) > 0)):
+        return df.reset_index(drop=True)
+    return df.sort_values(by=time_col).reset_index(drop=True)
+
+
 def _gap_fill_times(times: np.ndarray, gap_indices: list[int]) -> np.ndarray | None:
     """Synthesize timestamps inside each gap.
 
@@ -270,7 +307,7 @@ def correct_gaps(
     """
     if not gap_indices:
         return df.copy()
-    result = df.sort_values(by=time_col).reset_index(drop=True)
+    result = _sorted_by_time(df, time_col)
     new_times = _gap_fill_times(result[time_col].to_numpy(), gap_indices)
     if new_times is not None:
         gaps_df = pd.DataFrame(np.nan, index=range(len(new_times)), columns=result.columns)
@@ -320,7 +357,7 @@ def correct_outliers(
     windows = sliding_window_view(padded, window_shape=2 * pad + 1)[outlier_indices]
     with np.errstate(invalid="ignore"), warnings.catch_warnings():
         warnings.simplefilter("ignore", category=RuntimeWarning)
-        repl = np.nanmedian(windows, axis=1) if method == "median" else np.nanmean(windows, axis=1)
+        repl = _nanmedian_rows(windows) if method == "median" else np.nanmean(windows, axis=1)
     ok = ~np.isnan(repl)
     idx = np.asarray(outlier_indices)[ok]
     values[idx] = repl[ok]
@@ -349,10 +386,8 @@ def correct_jumps(
     values = result[value_col].astype(float).to_numpy(copy=True)
     jumps = np.asarray(valid)
     windows = sliding_window_view(values, window_shape=window_size)
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore", category=RuntimeWarning)
-        before = np.nanmedian(windows[jumps - window_size], axis=1)
-        after = np.nanmedian(windows[jumps], axis=1)
+    before = _nanmedian_rows(windows[jumps - window_size])
+    after = _nanmedian_rows(windows[jumps])
     ok = ~(np.isnan(before) | np.isnan(after))
     offsets = np.zeros(n)
     np.add.at(offsets, jumps[ok], before[ok] - after[ok])
@@ -379,13 +414,13 @@ def process_series_with_stats(
     record at series granularity (scripts/apply_refined_corrections.py:185-194).
     """
     cfg = {**DEFAULT_CONFIG, **(config or {})}
-    data = df.sort_values(by=time_col).reset_index(drop=True)
+    data = _sorted_by_time(df, time_col)
     n_in = len(data)
 
     gaps = detect_gaps(data[time_col].to_numpy(), cfg["gap_threshold_factor"])
     if gaps:
         data = correct_gaps(data, gaps, time_col, [value_col], cfg["gap_method"])
-        data = data.sort_values(by=time_col).reset_index(drop=True)
+        data = _sorted_by_time(data, time_col)
     n_after_gaps = len(data)
     stats = [("gaps", len(gaps), n_in, n_after_gaps, f"inserted={n_after_gaps - n_in}")]
 

@@ -196,3 +196,23 @@ def test_cusum_scan_dense_and_boundary(seed):
     x = rng.normal(0, 1, n)
     for thr in (1e-9, 0.5, float(np.abs(np.cumsum(x)).max() or 1.0)):
         assert oracle._cusum_resets(x, thr) == _cusum_loop_reference(x, thr)
+
+
+@given(
+    st.integers(1, 40),
+    st.integers(1, 9),
+    st.integers(0, 2**32 - 1),
+    st.floats(0.0, 1.0),
+)
+@settings(max_examples=200, deadline=None)
+def test_nanmedian_rows_matches_numpy(m, w, seed, nan_frac):
+    rng = np.random.default_rng(seed)
+    win = rng.normal(0, 1, (m, w))
+    win[rng.random((m, w)) < nan_frac] = np.nan
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", category=RuntimeWarning)
+        want = np.nanmedian(win, axis=1)
+    got = oracle._nanmedian_rows(win)
+    np.testing.assert_array_equal(got, want)
