@@ -196,21 +196,36 @@ def _cusum_resets(x: np.ndarray, threshold: float) -> list[int]:
     out: list[int] = []
     carry = 0.0
     i = 0
-    block = 64
+    block = 16  # dense triggers are the common case on noisy series — start
+    # small, grow exponentially; preallocated buffers + method dispatch keep
+    # the per-iteration fixed cost down (the numpy fromnumeric wrappers alone
+    # measured ~10µs/iteration before)
+    cap = min(n, 65536)
+    buf = np.empty(cap + 1)
+    cum = np.empty(cap + 1)
+    ab = np.empty(cap + 1)
+    cr = np.empty(cap + 1, dtype=bool)
     while i < n:
-        j = min(i + block, n)
-        c = np.cumsum(np.concatenate(([carry], x[i:j])))[1:]
-        cross = np.abs(c) > threshold
-        k = int(np.argmax(cross))
+        j = i + block
+        if j > n:
+            j = n
+        m = j - i
+        b = buf[: m + 1]
+        b[0] = carry
+        b[1:] = x[i:j]
+        c = b.cumsum(out=cum[: m + 1])
+        np.abs(c[1:], out=ab[:m])
+        cross = np.greater(ab[:m], threshold, out=cr[:m])
+        k = int(cross.argmax())
         if cross[k]:
             out.append(i + k)
             carry = 0.0
             i = i + k + 1
-            block = 64
+            block = 16
         else:
-            carry = float(c[-1])
+            carry = float(c[m])
             i = j
-            block = min(block * 2, 65536)
+            block = min(block << 1, 65536)
     return out
 
 
