@@ -77,12 +77,20 @@ def _pack_codes(codes_list, lens_list) -> bytes:
     offsets = np.zeros(len(lens), dtype=np.int64)
     np.cumsum(lens[:-1], out=offsets[1:])
     total = int(offsets[-1] + lens[-1])
+    # (n_codes, 64) MSB-first bit matrix in one C call, then ONE gather of
+    # each code's low ``lens`` bits into the plane (code k's bits live in
+    # columns [64-lens[k], 64)). Replaces a python loop over the 64 bit
+    # positions with per-pass boolean fancy-indexing — ~3× on the encode
+    # path; bit-identical output by construction (same plane layout).
+    bits = np.unpackbits(
+        codes.astype(">u8").view(np.uint8).reshape(-1, 8), axis=1
+    )
+    pos = np.arange(total, dtype=np.int64)
+    code_id = np.repeat(np.arange(len(codes), dtype=np.int64), lens)
+    j_in_code = pos - offsets[code_id]
+    src_col = 64 - lens[code_id] + j_in_code
     plane = np.zeros(((total + 7) // 8) * 8, dtype=np.uint8)
-    max_len = int(lens.max())
-    for j in range(max_len):
-        m = lens > j
-        shifts = (lens[m] - 1 - j).astype(np.uint64)
-        plane[offsets[m] + j] = ((codes[m] >> shifts) & _ONE).astype(np.uint8)
+    plane[:total] = bits[code_id, src_col]
     return np.packbits(plane).tobytes()
 
 
