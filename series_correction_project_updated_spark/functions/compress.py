@@ -218,43 +218,64 @@ def _encode_values_codes(values: np.ndarray) -> tuple[list, list]:
     low = xors & (~xors + _ONE)  # lowest set bit
     trail = _bit_length_u64(low) - 1  # -1 for xor==0 (unused)
 
-    # sequential window-reuse state scan — plain-int list ops only; the
-    # heavy bit work stays vectorized in _pack_codes.
-    hdr_l: list[int] = [0] * m
-    hdr_len_l: list[int] = [1] * m  # '0' for xor == 0
-    pay_l: list[int] = [0] * m
-    pay_len_l: list[int] = [0] * m
-    prev_lead, prev_len = -1, 0
-    lead_list = lead.tolist()
-    trail_list = trail.tolist()
-    xor_list = xors.tolist()
-    for i, x in enumerate(xor_list):
-        if x == 0:
-            continue
-        le = lead_list[i]
-        tr = trail_list[i]
-        if prev_lead != -1 and le >= prev_lead and tr >= 64 - prev_lead - prev_len:
-            hdr_l[i] = 0b10
-            hdr_len_l[i] = 2
-            pay_l[i] = x >> (64 - prev_lead - prev_len)
-            pay_len_l[i] = prev_len
-        else:
-            length = 64 - le - tr
-            hdr_l[i] = (0b11 << 11) | (le << 6) | (length - 1)
-            hdr_len_l[i] = 13
-            pay_l[i] = x >> tr
-            pay_len_l[i] = length
-            prev_lead, prev_len = le, length
+    # Window-reuse state scan, vectorized per window SEGMENT (the state
+    # (prev_lead, prev_len) only changes at a violation — ``lead < L or
+    # trail < T`` — so each window is a find-first-violation scan over the
+    # non-zero-xor subsequence, then one vectorized fill for the reused
+    # run; same grow-block pattern as the kernel's CUSUM scan). Decisions
+    # and emitted bits are IDENTICAL to the original per-element loop
+    # (property-tested against it): first non-zero opens a window; reuse
+    # while le ≥ prev_lead and tr ≥ prev_trail.
+    hdr = np.zeros(m, dtype=np.uint64)
+    hdr_len = np.ones(m, dtype=np.int64)  # '0' for xor == 0
+    pay = np.zeros(m, dtype=np.uint64)
+    pay_len = np.zeros(m, dtype=np.int64)
+    nz = np.flatnonzero(xors)
+    k = len(nz)
+    lead_nz = lead[nz]
+    trail_nz = trail[nz]
+    x_nz = xors[nz]
+    pos = 0
+    while pos < k:
+        le = int(lead_nz[pos])
+        tr = int(trail_nz[pos])
+        length = 64 - le - tr
+        i0 = nz[pos]
+        hdr[i0] = (0b11 << 11) | (le << 6) | (length - 1)
+        hdr_len[i0] = 13
+        pay[i0] = x_nz[pos] >> np.uint64(tr)
+        pay_len[i0] = length
+        # scan forward for the first violation in exponentially growing
+        # blocks (bounds the wasted scan when windows change often)
+        end = k
+        s = pos + 1
+        block = 64
+        while s < end:
+            e = min(s + block, k)
+            viol = (lead_nz[s:e] < le) | (trail_nz[s:e] < tr)
+            j = int(viol.argmax()) if e > s else 0
+            if e > s and viol[j]:
+                end = s + j
+                break
+            s = e
+            block <<= 1
+        seg = slice(pos + 1, end)
+        idx = nz[seg]
+        hdr[idx] = 0b10
+        hdr_len[idx] = 2
+        pay[idx] = x_nz[seg] >> np.uint64(tr)
+        pay_len[idx] = length
+        pos = end
 
     # interleave header/payload per element into one code stream:
     # hdr_len ≤ 13, pay_len ≤ 64 → may exceed 64 bits combined, so emit as
     # two consecutive segments per element via element-interleaved layout.
     codes = np.empty(2 * m, dtype=np.uint64)
     lens = np.empty(2 * m, dtype=np.int64)
-    codes[0::2] = hdr_l
-    lens[0::2] = hdr_len_l
-    codes[1::2] = pay_l
-    lens[1::2] = pay_len_l
+    codes[0::2] = hdr
+    lens[0::2] = hdr_len
+    codes[1::2] = pay
+    lens[1::2] = pay_len
     return [head, codes], [head_len, lens]
 
 

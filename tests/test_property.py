@@ -216,3 +216,84 @@ def test_nanmedian_rows_matches_numpy(m, w, seed, nan_frac):
         want = np.nanmedian(win, axis=1)
     got = oracle._nanmedian_rows(win)
     np.testing.assert_array_equal(got, want)
+
+
+def _encode_values_loop_reference(values: np.ndarray):
+    """The original per-element Gorilla window-reuse loop — parity target
+    for the vectorized segment-scan encoder."""
+    bits = np.asarray(values, dtype=np.float64).view(np.uint64)
+    n = len(bits)
+    head = np.array([bits[0]], dtype=np.uint64)
+    head_len = np.array([64], dtype=np.int64)
+    if n == 1:
+        return [head], [head_len]
+    xors = bits[1:] ^ bits[:-1]
+    m = len(xors)
+    bl = codec._bit_length_u64(xors)
+    lead = np.minimum(64 - bl, 31)
+    low = xors & (~xors + codec._ONE)
+    trail = codec._bit_length_u64(low) - 1
+    hdr_l = [0] * m
+    hdr_len_l = [1] * m
+    pay_l = [0] * m
+    pay_len_l = [0] * m
+    prev_lead, prev_len = -1, 0
+    for i, x in enumerate(xors.tolist()):
+        if x == 0:
+            continue
+        le = int(lead[i])
+        tr = int(trail[i])
+        if prev_lead != -1 and le >= prev_lead and tr >= 64 - prev_lead - prev_len:
+            hdr_l[i] = 0b10
+            hdr_len_l[i] = 2
+            pay_l[i] = x >> (64 - prev_lead - prev_len)
+            pay_len_l[i] = prev_len
+        else:
+            length = 64 - le - tr
+            hdr_l[i] = (0b11 << 11) | (le << 6) | (length - 1)
+            hdr_len_l[i] = 13
+            pay_l[i] = x >> tr
+            pay_len_l[i] = length
+            prev_lead, prev_len = le, length
+    codes = np.empty(2 * m, dtype=np.uint64)
+    lens = np.empty(2 * m, dtype=np.int64)
+    codes[0::2] = hdr_l
+    lens[0::2] = hdr_len_l
+    codes[1::2] = pay_l
+    lens[1::2] = pay_len_l
+    return [head, codes], [head_len, lens]
+
+
+@given(
+    st.lists(
+        st.floats(allow_nan=True, allow_infinity=True, width=64),
+        min_size=1,
+        max_size=300,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_values_encoder_matches_loop(vals):
+    v = np.asarray(vals, dtype=np.float64)
+    got_c, got_l = codec._encode_values_codes(v)
+    want_c, want_l = _encode_values_loop_reference(v)
+    assert len(got_c) == len(want_c)
+    for gc, wc in zip(got_c, want_c):
+        np.testing.assert_array_equal(np.asarray(gc, dtype=np.uint64), np.asarray(wc, dtype=np.uint64))
+    for gl, wl in zip(got_l, want_l):
+        np.testing.assert_array_equal(np.asarray(gl, dtype=np.int64), np.asarray(wl, dtype=np.int64))
+
+
+@given(st.integers(0, 2**32 - 1), st.integers(1, 2000))
+@settings(max_examples=40, deadline=None)
+def test_values_encoder_matches_loop_smooth(seed, n):
+    """Random-walk + repeated + near-equal values — the regimes that drive
+    long reuse runs and dense window changes."""
+    rng = np.random.default_rng(seed)
+    v = np.round(np.cumsum(rng.normal(0, 1, n)), 2)
+    v[rng.random(n) < 0.2] = v[0]
+    got_c, got_l = codec._encode_values_codes(v)
+    want_c, want_l = _encode_values_loop_reference(v)
+    for gc, wc in zip(got_c, want_c):
+        np.testing.assert_array_equal(np.asarray(gc, dtype=np.uint64), np.asarray(wc, dtype=np.uint64))
+    for gl, wl in zip(got_l, want_l):
+        np.testing.assert_array_equal(np.asarray(gl, dtype=np.int64), np.asarray(wl, dtype=np.int64))
