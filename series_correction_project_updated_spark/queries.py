@@ -673,7 +673,12 @@ def q_word_overlap_pairs(spark, sf_dir):
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws")
     ).select("doc_id", F.explode(F.array_distinct(shingles_from_words("ws", 3))).alias("w"))
     rare = words.groupBy("w").agg(F.count("*").alias("df")).where(F.col("df") <= 100)
-    words = words.join(rare.select("w"), "w")
+    # materialize the filtered shingle set ONCE: it feeds three consumers
+    # (both self-join sides + the per-doc size agg) with different
+    # clusterings, so without this the scan+explode+df-filter subtree
+    # executes three times (the a/b join sides reuse one exchange, sizes
+    # cannot)
+    words = words.join(rare.select("w"), "w").localCheckpoint()
     sizes = words.groupBy("doc_id").agg(F.count("*").alias("nw"))
     a = words.alias("a")
     b = words.alias("b")
