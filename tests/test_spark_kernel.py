@@ -218,3 +218,22 @@ def test_gap_method_parameter_reaches_interpolation(spark, series_pdf):
     assert not np.allclose(
         want["value"].to_numpy(), linear["value"].to_numpy(), equal_nan=True
     ), "nearest fill should differ from linear fill on synthesized gap rows"
+
+
+@pytest.mark.parametrize("method", ["mean", "interpolate", "remove"])
+def test_outlier_method_variants_match_oracle(spark, series_pdf, method):
+    """All four reference outlier-correction modes (processor.py:407-465 —
+    median is covered by the default-config suite) flow through config to
+    the Spark kernel and match the single-node oracle exactly."""
+    cfg = {"outlier_method": method}
+    sdf = spark.createDataFrame(series_pdf)
+    got = (
+        correct_series(sdf, config=cfg)
+        .orderBy("series_key", "t")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    want = _oracle_all(series_pdf, cfg)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    if method == "remove":
+        assert want["value"].isna().any(), "remove mode should leave NaNs"
