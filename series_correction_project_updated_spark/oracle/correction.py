@@ -42,6 +42,9 @@ DEFAULT_CONFIG: dict[str, Any] = {
     "gap_threshold_factor": 3.0,
     "gap_method": "time",
     "outlier_method": "median",
+    # accepted but never forwarded to correct_jumps — the REFERENCE reads it
+    # from config and also never passes it on (scripts/processor.py:475 vs
+    # :529-535); reproducing that is part of parity
     "jump_method": "offset",
 }
 
