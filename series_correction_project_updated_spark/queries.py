@@ -287,6 +287,36 @@ FROM pts GROUP BY user_id, bucket_start
 """
 
 
+def q_retention_1h(spark, sf_dir):
+    """Retention policy applied to the 1h tier (operators.retention — the
+    third leg of the rollup/downsample/RETENTION engine): keep the last 15
+    days of buckets, cutoff derived deterministically from the data's own
+    max bucket (wall-clock in a driver query would break reproducibility).
+    The filter is a pure bucket_start predicate — partition-prunable at
+    scale (see retention.expire_partition_dirs for the physical analog)."""
+    from .operators.retention import apply_retention
+
+    tier = _rollup_spark(spark, sf_dir, 3600)
+    return apply_retention(tier, keep_seconds=15 * 86400.0).orderBy(
+        "user_id", "bucket_start"
+    )
+
+
+SQL_RETENTION_1H = """
+WITH pts AS (SELECT user_id, epoch_ms(ts)/1000.0 AS t, value FROM events),
+tier AS (
+  SELECT user_id, CAST(floor(t/3600)*3600 AS BIGINT) AS bucket_start,
+         count(value) AS cnt, round(sum(value), 4) AS vsum,
+         min(value) AS vmin, max(value) AS vmax,
+         arg_min(value, t) AS vfirst, arg_max(value, t) AS vlast
+  FROM pts GROUP BY user_id, bucket_start
+)
+SELECT * FROM tier
+WHERE bucket_start >= (SELECT max(bucket_start) FROM tier) - 15 * 86400.0
+ORDER BY user_id, bucket_start
+"""
+
+
 def q_rollup_1m(spark, sf_dir):
     """1-minute continuous aggregate tier (new rollup layer, SURVEY.md §7)."""
     return _rollup_spark(spark, sf_dir, 60)
@@ -1801,6 +1831,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q_rollup_1h": (q_rollup_1h, _rollup_sql(3600)),
     "q_rollup_1d": (q_rollup_1d, _rollup_sql(86400)),
     "q_rollup_cascade_1h": (q_rollup_cascade_1h, _rollup_sql(3600)),
+    "q_retention_1h": (q_retention_1h, SQL_RETENTION_1H),
     "q_head_tail_avg": (q_head_tail_avg, SQL_HEAD_TAIL),
     "q_level_shift_days": (q_level_shift_days, SQL_LEVEL_SHIFT),
     "q_global_mad": (q_global_mad, SQL_GLOBAL_MAD),
