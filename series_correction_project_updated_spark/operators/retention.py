@@ -38,25 +38,35 @@ DEFAULT_POLICY: dict[str, float | None] = {
 }
 
 
-def retention_cutoff(tier_df: DataFrame, keep_seconds: float, now_ts: float | None = None) -> float:
+def retention_cutoff(
+    tier_df: DataFrame,
+    keep_seconds: float,
+    now_ts: float | None = None,
+    time_col: str = "bucket_start",
+) -> float:
     """Cutoff epoch-seconds: ``now - keep``. ``now`` defaults to the data's
-    max bucket_start (deterministic — reproducible tests/oracles)."""
+    max time value (deterministic — reproducible tests/oracles)."""
     if now_ts is None:
-        row = tier_df.agg(F.max("bucket_start").alias("m")).collect()[0]
+        row = tier_df.agg(F.max(time_col).alias("m")).collect()[0]
         now_ts = float(row["m"] if row["m"] is not None else 0.0)
     return now_ts - keep_seconds
 
 
 def apply_retention(
-    tier_df: DataFrame, keep_seconds: float | None, now_ts: float | None = None
+    tier_df: DataFrame,
+    keep_seconds: float | None,
+    now_ts: float | None = None,
+    time_col: str = "bucket_start",
 ) -> DataFrame:
-    """Rows within the retention horizon. A pure ``bucket_start`` filter —
+    """Rows within the retention horizon. A pure time-column filter —
     partition-prunable, no shuffle, no action beyond the optional
-    max-bucket lookup in deterministic mode."""
+    max-time lookup in deterministic mode. ``time_col='chunk_start'``
+    applies the same policy to the COMPRESSED store (whole chunks expire
+    together — the chunk span just quantizes the horizon)."""
     if keep_seconds is None:
         return tier_df
-    cutoff = retention_cutoff(tier_df, keep_seconds, now_ts)
-    return tier_df.where(F.col("bucket_start") >= cutoff)
+    cutoff = retention_cutoff(tier_df, keep_seconds, now_ts, time_col)
+    return tier_df.where(F.col(time_col) >= cutoff)
 
 
 def retention_cascade(

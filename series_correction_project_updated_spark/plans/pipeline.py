@@ -36,6 +36,12 @@ class PipelineConfig:
     compress_value_col: str = "vsum"
     n_buckets: int = 32
     emit_lineage: bool = True
+    # NOTE deliberately NO retention knob here: retention must not filter a
+    # tier before a COARSER tier cascades from it (coarser tiers keep longer
+    # horizons), so expiry is a separate maintenance job over the written
+    # tier stores — jobs/run_retention.py + operators/retention.py — exactly
+    # how production continuous-aggregate policies run (background job, not
+    # build-time filter).
 
 
 def run_pipeline(
