@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "q_gapfill_linear",
     "q_minhash_portable",
     "q_simhash_portable",
+    "q_retention_1h",
 ]
 
 #: documented clean single-thread rate on this box (BENCH/BASELINE.md)
