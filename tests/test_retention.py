@@ -73,3 +73,17 @@ def test_expire_partition_dirs_drops_only_whole_days(tiers, tmp_path):
     assert back.count() == tier.where(
         F.to_date(F.timestamp_seconds(F.col("bucket_start"))).cast("string").isin(days[2:])
     ).count()
+
+
+def test_retention_on_compressed_store(tiers):
+    """The same policy applies to the COMPRESSED chunk store via
+    time_col='chunk_start' — whole chunks expire together."""
+    from series_correction_project_updated_spark.operators.compress import compress_rollup
+
+    comp = compress_rollup(tiers["1m"], "1m")
+    total = comp.count()
+    kept = apply_retention(comp, 4 * 86400.0, time_col="chunk_start")
+    n = kept.count()
+    assert 0 < n <= total
+    cutoff = retention_cutoff(comp, 4 * 86400.0, time_col="chunk_start")
+    assert kept.agg(F.min("chunk_start")).collect()[0][0] >= cutoff
