@@ -69,3 +69,54 @@ def rollup_all_tiers(points: DataFrame, **kw) -> dict[str, DataFrame]:
     r1h = cascade(r1m, "1h")
     r1d = cascade(r1h, "1d")
     return {"1m": r1m, "1h": r1h, "1d": r1d}
+
+
+def downsample_m4(
+    points: DataFrame,
+    bucket_sec: float,
+    key_col: str = "series_key",
+    time_col: str = "t",
+    value_col: str = "value",
+) -> DataFrame:
+    """M4 visualization downsample (Jugel et al., VLDB 2014): per
+    (series, time bucket), keep the actual ROWS that are the bucket's
+    first, last, minimum-value and maximum-value points — the
+    error-free reduction for line-chart rendering at any pixel width.
+
+    Row selection is DETERMINISTIC under value ties: each of the four
+    roles picks by a total order ((t), (t desc), (value, t),
+    (value desc, t)), so the output is hash-stable and reproducible in
+    ANSI SQL (driver oracle, queries.q_downsample_m4).
+
+    Shape: four ``row_number`` windows over the same (key, bucket)
+    clustering — ONE shuffle, all four ranks computed in a single window
+    stage, then a distinct on the kept rows. At serving scale note the
+    aggregate form is usually free: the rollup tiers already carry
+    vmin/vmax/vfirst/vlast, so M4 VALUES fall out of ``rollup()`` — this
+    operator is for when the exact source rows (with their timestamps)
+    are required.
+    """
+    from pyspark.sql import Window
+
+    bucket = (F.floor(F.col(time_col) / bucket_sec) * bucket_sec).cast("long")
+    pts = points.withColumn("bucket_start", bucket)
+    w = Window.partitionBy(key_col, "bucket_start")
+    ranked = (
+        pts.withColumn("rn_first", F.row_number().over(w.orderBy(F.col(time_col).asc())))
+        .withColumn("rn_last", F.row_number().over(w.orderBy(F.col(time_col).desc())))
+        .withColumn(
+            "rn_min",
+            F.row_number().over(w.orderBy(F.col(value_col).asc_nulls_last(), F.col(time_col).asc())),
+        )
+        .withColumn(
+            "rn_max",
+            F.row_number().over(w.orderBy(F.col(value_col).desc_nulls_last(), F.col(time_col).asc())),
+        )
+    )
+    kept = ranked.where(
+        (F.col("rn_first") == 1)
+        | (F.col("rn_last") == 1)
+        | (F.col("rn_min") == 1)
+        | (F.col("rn_max") == 1)
+    )
+    return kept.select(key_col, "bucket_start", time_col, value_col).distinct()

@@ -317,6 +317,42 @@ ORDER BY user_id, bucket_start
 """
 
 
+def q_downsample_m4(spark, sf_dir):
+    """M4 visualization downsample (Jugel et al. VLDB'14) over hourly
+    buckets of the events table: the exact first/last/min/max ROWS per
+    (user, bucket), deterministic under ties — see
+    operators.rollup.downsample_m4."""
+    from .operators.rollup import downsample_m4
+
+    pts = _event_points(spark, sf_dir)
+    return (
+        downsample_m4(pts, 3600.0, key_col="user_id")
+        .select("user_id", "bucket_start", F.round("t", 6).alias("t"), "value")
+        .orderBy("user_id", "bucket_start", "t")
+    )
+
+
+SQL_DOWNSAMPLE_M4 = """
+WITH pts AS (
+  SELECT user_id, epoch_ms(ts)/1000.0 AS t, value,
+         CAST(floor((epoch_ms(ts)/1000.0)/3600)*3600 AS BIGINT) AS bucket_start
+  FROM events
+),
+r AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY user_id, bucket_start ORDER BY t ASC)  AS rn_first,
+    row_number() OVER (PARTITION BY user_id, bucket_start ORDER BY t DESC) AS rn_last,
+    row_number() OVER (PARTITION BY user_id, bucket_start ORDER BY value ASC,  t ASC) AS rn_min,
+    row_number() OVER (PARTITION BY user_id, bucket_start ORDER BY value DESC, t ASC) AS rn_max
+  FROM pts
+)
+SELECT DISTINCT user_id, bucket_start, round(t, 6) AS t, value
+FROM r
+WHERE rn_first = 1 OR rn_last = 1 OR rn_min = 1 OR rn_max = 1
+ORDER BY user_id, bucket_start, t
+"""
+
+
 def q_rollup_1m(spark, sf_dir):
     """1-minute continuous aggregate tier (new rollup layer, SURVEY.md §7)."""
     return _rollup_spark(spark, sf_dir, 60)
@@ -1832,6 +1868,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q_rollup_1d": (q_rollup_1d, _rollup_sql(86400)),
     "q_rollup_cascade_1h": (q_rollup_cascade_1h, _rollup_sql(3600)),
     "q_retention_1h": (q_retention_1h, SQL_RETENTION_1H),
+    "q_downsample_m4": (q_downsample_m4, SQL_DOWNSAMPLE_M4),
     "q_head_tail_avg": (q_head_tail_avg, SQL_HEAD_TAIL),
     "q_level_shift_days": (q_level_shift_days, SQL_LEVEL_SHIFT),
     "q_global_mad": (q_global_mad, SQL_GLOBAL_MAD),

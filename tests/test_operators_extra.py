@@ -638,3 +638,31 @@ def test_streaming_jump_state_carries_across_microbatches(spark, tmp_path):
     idx = oracle.detect_jumps(vals, 5, 3.0)
     want = sorted(ts[i] for i in idx)
     assert len(want) >= 1 and got == want
+
+
+def test_downsample_m4_properties(spark):
+    """Per (series, bucket): ≤4 rows kept; the kept set contains the true
+    first/last/min/max; deterministic under duplicate values (ties broken
+    by time)."""
+    from series_correction_project_updated_spark.operators.rollup import downsample_m4
+
+    rows = []
+    for key in ("a", "b"):
+        for i in range(500):
+            # duplicate values on purpose: v cycles through a small set
+            rows.append((key, float(i * 10), float([3.0, 7.0, 7.0, 1.0, 5.0][i % 5])))
+    pdf = pd.DataFrame(rows, columns=["series_key", "t", "value"])
+    sdf = spark.createDataFrame(pdf)
+
+    out1 = downsample_m4(sdf, 1000.0).orderBy("series_key", "bucket_start", "t").toPandas()
+    out2 = downsample_m4(sdf, 1000.0).orderBy("series_key", "bucket_start", "t").toPandas()
+    pd.testing.assert_frame_equal(out1, out2)  # deterministic under ties
+
+    pdf["bucket_start"] = (pdf["t"] // 1000.0 * 1000.0).astype("int64")
+    for (key, b), grp in pdf.groupby(["series_key", "bucket_start"]):
+        kept = out1[(out1.series_key == key) & (out1.bucket_start == b)]
+        assert 1 <= len(kept) <= 4
+        assert grp["t"].min() in kept["t"].to_numpy()
+        assert grp["t"].max() in kept["t"].to_numpy()
+        assert grp["value"].min() in kept["value"].to_numpy()
+        assert grp["value"].max() in kept["value"].to_numpy()
