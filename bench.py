@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "q_minhash_portable",
     "q_simhash_portable",
     "q_retention_1h",
+    "q_downsample_m4",
 ]
 
 #: documented clean single-thread rate on this box (BENCH/BASELINE.md)
