@@ -56,3 +56,37 @@ def test_oracle_bit_exact_vs_reference(reference_processor):
         assert np.array_equal(rv, ov, equal_nan=True)
         checked += 1
     assert checked >= 100  # sf0.01 has ≥100 event series
+
+
+def test_oracle_matches_reference_on_adversarial_series(reference_processor):
+    """Property fuzz vs the reference implementation itself: random series
+    with NaN values, DUPLICATE timestamps (exercises the sort-tie path the
+    strictly-increasing fast path must not take), constant stretches, and
+    tiny lengths. Bit-exact output equality required."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from series_correction_project_updated_spark.oracle import correction as oracle
+
+    @given(st.integers(0, 2**32 - 1), st.integers(2, 400))
+    @settings(max_examples=60, deadline=None)
+    def _case(seed, n):
+        rng = np.random.default_rng(seed)
+        # timestamps: mostly increasing, some duplicates, occasional big gaps
+        steps = rng.choice([0.0, 10.0, 10.0, 10.0, 500.0], size=n, p=[0.1, 0.3, 0.3, 0.2, 0.1])
+        t = np.cumsum(steps) + 1000.0
+        v = np.round(np.cumsum(rng.normal(0, 1, n)), 3)
+        v[rng.random(n) < 0.05] = np.nan
+        if rng.random() < 0.3:
+            v[: n // 2] = 5.0  # constant stretch (zero MAD / zero std paths)
+        df = pd.DataFrame({"t": t, "value": v})
+        ref = reference_processor.process_data(
+            df.rename(columns={"t": "Time (Seconds)", "value": "Value2"}),
+            config={"time_col": "Time (Seconds)", "value_col": "Value2"},
+        )
+        ours = oracle.process_series(df, "t", "value", None)
+        assert len(ref) == len(ours)
+        np.testing.assert_array_equal(ref["Time (Seconds)"].to_numpy(), ours["t"].to_numpy())
+        assert np.array_equal(ref["Value2"].to_numpy(), ours["value"].to_numpy(), equal_nan=True)
+
+    _case()
