@@ -317,6 +317,56 @@ ORDER BY user_id, bucket_start
 """
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (operators.asof — kdb aj / merge_asof semantics): enrich
+    every event with the latest EVEN-hour rollup bucket at or before it,
+    within a 1.5h tolerance. The even-hour filter makes the right side
+    sparse so the no-match and tolerance-expired paths are exercised; the
+    oracle is DuckDB's native ASOF LEFT JOIN."""
+    from .operators.asof import asof_join
+
+    pts = _event_points(spark, sf_dir)
+    tier = (
+        pts.groupBy(
+            "user_id", (F.floor(F.col("t") / 3600) * 3600).cast("double").alias("t")
+        )
+        .agg(F.round(F.sum("value"), 4).alias("hsum"), F.count("value").alias("hcnt"))
+        .where((F.col("t") / 3600).cast("long") % 2 == 0)
+    )
+    out = asof_join(
+        pts, tier, key_col="user_id", time_col="t", payload_cols=["hsum", "hcnt"], tolerance=5400.0
+    )
+    return out.select(
+        "user_id",
+        F.round("t", 6).alias("t"),
+        "value",
+        F.col("hsum_asof"),
+        F.col("hcnt_asof"),
+        F.col("t_asof"),
+    ).orderBy("user_id", "t", "value")
+
+
+SQL_ASOF_JOIN = """
+WITH pts AS (SELECT user_id, epoch_ms(ts)/1000.0 AS t, value FROM events),
+tier AS (
+  SELECT * FROM (
+    SELECT user_id, CAST(floor(t/3600)*3600 AS DOUBLE) AS t,
+           round(sum(value), 4) AS hsum, count(value) AS hcnt
+    FROM pts GROUP BY 1, 2
+  ) WHERE CAST(t/3600 AS BIGINT) % 2 = 0
+),
+j AS (
+  SELECT p.user_id, p.t, p.value, r.t AS rt, r.hsum, r.hcnt
+  FROM pts p ASOF LEFT JOIN tier r ON p.user_id = r.user_id AND p.t >= r.t
+)
+SELECT user_id, round(t, 6) AS t, value,
+       CASE WHEN rt IS NOT NULL AND t - rt <= 5400 THEN hsum END AS hsum_asof,
+       CASE WHEN rt IS NOT NULL AND t - rt <= 5400 THEN hcnt END AS hcnt_asof,
+       CASE WHEN rt IS NOT NULL AND t - rt <= 5400 THEN rt END AS t_asof
+FROM j ORDER BY user_id, t, value
+"""
+
+
 def q_downsample_m4(spark, sf_dir):
     """M4 visualization downsample (Jugel et al. VLDB'14) over hourly
     buckets of the events table: the exact first/last/min/max ROWS per
@@ -1869,6 +1919,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q_rollup_cascade_1h": (q_rollup_cascade_1h, _rollup_sql(3600)),
     "q_retention_1h": (q_retention_1h, SQL_RETENTION_1H),
     "q_downsample_m4": (q_downsample_m4, SQL_DOWNSAMPLE_M4),
+    "q_asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "q_head_tail_avg": (q_head_tail_avg, SQL_HEAD_TAIL),
     "q_level_shift_days": (q_level_shift_days, SQL_LEVEL_SHIFT),
     "q_global_mad": (q_global_mad, SQL_GLOBAL_MAD),

@@ -666,3 +666,47 @@ def test_downsample_m4_properties(spark):
         assert grp["t"].max() in kept["t"].to_numpy()
         assert grp["value"].min() in kept["value"].to_numpy()
         assert grp["value"].max() in kept["value"].to_numpy()
+
+
+def test_asof_join_matches_merge_asof(spark):
+    """operators.asof.asof_join vs pandas merge_asof (backward, inclusive)
+    per key, including equal-timestamp matches and tolerance expiry."""
+    from series_correction_project_updated_spark.operators.asof import asof_join
+
+    rng = np.random.default_rng(3)
+    left_rows, right_rows = [], []
+    for key in ("a", "b", "c"):
+        lt = np.sort(rng.choice(np.arange(0, 5000, 10.0), size=120, replace=False))
+        rt = np.sort(rng.choice(np.arange(0, 5000, 10.0), size=25, replace=False))
+        rt[0] = lt[5]  # force an equal-timestamp (inclusive) match
+        left_rows += [(key, float(t), float(i)) for i, t in enumerate(lt)]
+        right_rows += [(key, float(t), float(100 + i)) for i, t in enumerate(rt)]
+    lpdf = pd.DataFrame(left_rows, columns=["series_key", "t", "value"])
+    rpdf = pd.DataFrame(right_rows, columns=["series_key", "t", "quote"])
+
+    got = (
+        asof_join(
+            spark.createDataFrame(lpdf),
+            spark.createDataFrame(rpdf),
+            tolerance=900.0,
+        )
+        .orderBy("series_key", "t")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        lpdf.sort_values("t"),
+        rpdf.sort_values("t"),
+        on="t",
+        by="series_key",
+        direction="backward",
+        tolerance=900.0,
+    ).sort_values(["series_key", "t"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    pd.testing.assert_series_equal(
+        got["quote_asof"], want["quote"], check_names=False
+    )
+    assert got["quote_asof"].isna().any()  # tolerance expiry exercised
+    # the forced equal-timestamp row matched (inclusive semantics)
+    eq = got[(got.series_key == "a")].iloc[5]
+    assert not pd.isna(eq["quote_asof"]) and eq["t_asof"] == eq["t"]
