@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "q_simhash_portable",
     "q_retention_1h",
     "q_downsample_m4",
+    "q_asof_join",
 ]
 
 #: documented clean single-thread rate on this box (BENCH/BASELINE.md)
