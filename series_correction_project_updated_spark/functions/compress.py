@@ -138,9 +138,17 @@ def _encode_timestamps_codes(ts: np.ndarray) -> tuple[list, list]:
     m = len(dod)
     codes = np.zeros(m, dtype=np.uint64)
     lens = np.ones(m, dtype=np.int64)  # default: '0' (dod == 0)
-    b7 = (dod != 0) & (dod >= -63) & (dod <= 64)
-    b9 = (dod != 0) & ~b7 & (dod >= -255) & (dod <= 256)
-    b12 = (dod != 0) & ~b7 & ~b9 & (dod >= -2047) & (dod <= 2048)
+    # Class ranges are the SIGNED range of the raw two's-complement payload
+    # field: a k-bit field holds [-2^(k-1), 2^(k-1)-1]. (The Gorilla paper's
+    # asymmetric [(-63,64], ... ranges assume an offset encoding; this codec
+    # stores raw two's complement, and the old paper-copied masks put the
+    # boundary values 64/256/2048 into a field too small for them — dod=64
+    # encoded as the 7-bit sign-bit pattern and decoded as -64. Found by
+    # hypothesis; boundary values now take the next class up, which the
+    # unchanged decoder already handles.)
+    b7 = (dod != 0) & (dod >= -64) & (dod <= 63)
+    b9 = (dod != 0) & ~b7 & (dod >= -256) & (dod <= 255)
+    b12 = (dod != 0) & ~b7 & ~b9 & (dod >= -2048) & (dod <= 2047)
     in32 = (dod >= -(2**31)) & (dod < 2**31)
     b32 = (dod != 0) & ~b7 & ~b9 & ~b12 & in32
     b64 = (dod != 0) & ~b7 & ~b9 & ~b12 & ~in32  # escape: full 64-bit dod

@@ -116,3 +116,23 @@ def test_gor1_legacy_payloads_still_decode():
 def test_v2_payloads_carry_new_magic():
     payload = encode_chunk(np.array([0, 60], dtype=np.int64), np.array([1.0, 2.0]))
     assert payload[:4] == b"GOR2"
+
+
+def test_dod_class_boundaries_roundtrip_exact():
+    """Regression (hypothesis find, r3): dod values at every class boundary
+    must roundtrip. The old paper-copied masks put +64/+256/+2048 into a
+    two's-complement field too small for them (dod=64 -> 7-bit sign-bit
+    pattern -> decoded -64); a k-bit raw field holds [-2^(k-1), 2^(k-1)-1]."""
+    import numpy as np
+
+    from series_correction_project_updated_spark.functions import compress as codec
+
+    for d in (
+        0, 1, -1, 63, 64, 65, -63, -64, -65, 255, 256, 257, -255, -256, -257,
+        2047, 2048, 2049, -2047, -2048, -2049, 2**31 - 1, 2**31, -(2**31), -(2**31) - 1,
+    ):
+        ts = np.array([0, 100, 200 + d + 100], dtype=np.int64)
+        vals = np.array([1.0, 2.0, 3.0])
+        t2, v2 = codec.decode_chunk(codec.encode_chunk(ts, vals))
+        assert (t2 == ts).all(), (d, t2.tolist())
+        assert (v2 == vals).all()
