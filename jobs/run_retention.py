@@ -49,9 +49,19 @@ def main() -> None:
     cutoff = now - args.keep_days * 86400.0
     removed = expire_partition_dirs(args.tier_dir, cutoff)
 
-    spark = get_spark(app_name="retention")
-    tier = spark.read.parquet(args.tier_dir)
-    remaining = apply_retention(tier, args.keep_days * 86400.0, now_ts=now).count()
+    # A policy horizon older than ALL data removes every partition; reading
+    # the now-empty store would raise (parquet can't infer a schema from
+    # zero files), crashing after the deletes — report 0 instead (r3 ADVICE).
+    has_live = any(
+        e.startswith("bucket_date=") for e in os.listdir(args.tier_dir)
+    ) if os.path.isdir(args.tier_dir) else False
+    if has_live:
+        spark = get_spark(app_name="retention")
+        tier = spark.read.parquet(args.tier_dir)
+        remaining = apply_retention(tier, args.keep_days * 86400.0, now_ts=now).count()
+    else:
+        spark = None
+        remaining = 0
     print(
         json.dumps(
             {
@@ -62,7 +72,8 @@ def main() -> None:
             }
         )
     )
-    spark.stop()
+    if spark is not None:
+        spark.stop()
 
 
 if __name__ == "__main__":

@@ -113,7 +113,17 @@ def expire_partition_dirs(tier_path: str, cutoff_ts: float) -> list[str]:
 
 def write_tier_partitioned(tier_df: DataFrame, path: str) -> None:
     """Write a tier partitioned by ``bucket_date`` — the layout
-    ``expire_partition_dirs`` (and Catalyst partition pruning) operate on."""
+    ``expire_partition_dirs`` (and Catalyst partition pruning) operate on.
+
+    ``bucket_date`` is derived by PURE UTC DAY ARITHMETIC
+    (``date_from_unix_date(floor(bucket_start / 86400))``), never via
+    ``to_date(timestamp)``: the latter follows ``spark.sql.session.timeZone``
+    while ``expire_partition_dirs`` computes day boundaries in UTC, so a
+    non-UTC session could otherwise write live rows into a directory the
+    delete path considers expired (r3 ADVICE). With this encoding the
+    partition layout is identical under any session timezone.
+    """
     tier_df.withColumn(
-        "bucket_date", F.to_date(F.timestamp_seconds(F.col("bucket_start")))
+        "bucket_date",
+        F.date_from_unix_date(F.floor(F.col("bucket_start") / 86400).cast("int")),
     ).write.mode("overwrite").partitionBy("bucket_date").parquet(path)

@@ -83,10 +83,15 @@ def downsample_m4(
     first, last, minimum-value and maximum-value points — the
     error-free reduction for line-chart rendering at any pixel width.
 
-    Row selection is DETERMINISTIC under value ties: each of the four
-    roles picks by a total order ((t), (t desc), (value, t),
-    (value desc, t)), so the output is hash-stable and reproducible in
-    ANSI SQL (driver oracle, queries.q_downsample_m4).
+    Row selection is DETERMINISTIC under both value ties AND timestamp
+    ties: each of the four roles picks by a total order over (t, value) —
+    ((t, value), (t desc, value desc), (value, t), (value desc, t)) — so
+    the output is hash-stable and reproducible in ANSI SQL (driver oracle,
+    queries.q_downsample_m4) even when a (key, bucket) holds duplicate
+    timestamps (r3 ADVICE: t alone left the first/last pick
+    nondeterministic there). Rows identical in BOTH t and value are
+    interchangeable, so no further tiebreaker is needed for output
+    determinism.
 
     Shape: four ``row_number`` windows over the same (key, bucket)
     clustering — ONE shuffle, all four ranks computed in a single window
@@ -102,8 +107,14 @@ def downsample_m4(
     pts = points.withColumn("bucket_start", bucket)
     w = Window.partitionBy(key_col, "bucket_start")
     ranked = (
-        pts.withColumn("rn_first", F.row_number().over(w.orderBy(F.col(time_col).asc())))
-        .withColumn("rn_last", F.row_number().over(w.orderBy(F.col(time_col).desc())))
+        pts.withColumn(
+            "rn_first",
+            F.row_number().over(w.orderBy(F.col(time_col).asc(), F.col(value_col).asc_nulls_last())),
+        )
+        .withColumn(
+            "rn_last",
+            F.row_number().over(w.orderBy(F.col(time_col).desc(), F.col(value_col).desc_nulls_last())),
+        )
         .withColumn(
             "rn_min",
             F.row_number().over(w.orderBy(F.col(value_col).asc_nulls_last(), F.col(time_col).asc())),

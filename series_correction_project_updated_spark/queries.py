@@ -367,6 +367,113 @@ FROM j ORDER BY user_id, t, value
 """
 
 
+def _asof_fixture(spark, sf_dir):
+    """Shared left/right for the as-of queries: all event points vs a
+    sparse EVEN-hour rollup (sparseness exercises no-match and
+    tolerance-expired paths)."""
+    pts = _event_points(spark, sf_dir)
+    tier = (
+        pts.groupBy(
+            "user_id", (F.floor(F.col("t") / 3600) * 3600).cast("double").alias("t")
+        )
+        .agg(F.round(F.sum("value"), 4).alias("hsum"), F.count("value").alias("hcnt"))
+        .where((F.col("t") / 3600).cast("long") % 2 == 0)
+    )
+    return pts, tier
+
+
+def q_asof_forward(spark, sf_dir):
+    """FORWARD-direction as-of join (r3 verdict #7 — pandas merge_asof
+    direction='forward'): each event matched to the EARLIEST even-hour
+    bucket at or after it, within 1.5h. DuckDB's native ASOF only does
+    backward, so the oracle is an independent ANSI shape: correlated
+    min(r.t ≥ p.t) + equi-join back to the bucket row."""
+    from .operators.asof import asof_join
+
+    pts, tier = _asof_fixture(spark, sf_dir)
+    out = asof_join(
+        pts, tier, key_col="user_id", time_col="t",
+        payload_cols=["hsum", "hcnt"], tolerance=5400.0, direction="forward",
+    )
+    return out.select(
+        "user_id", F.round("t", 6).alias("t"), "value",
+        "hsum_asof", "hcnt_asof", "t_asof",
+    ).orderBy("user_id", "t", "value")
+
+
+SQL_ASOF_FORWARD = """
+WITH pts AS (SELECT user_id, epoch_ms(ts)/1000.0 AS t, value FROM events),
+tier AS (
+  SELECT * FROM (
+    SELECT user_id, CAST(floor(t/3600)*3600 AS DOUBLE) AS t,
+           round(sum(value), 4) AS hsum, count(value) AS hcnt
+    FROM pts GROUP BY 1, 2
+  ) WHERE CAST(t/3600 AS BIGINT) % 2 = 0
+),
+j AS (
+  SELECT p.user_id, p.t, p.value,
+         (SELECT min(r.t) FROM tier r
+          WHERE r.user_id = p.user_id AND r.t >= p.t) AS rt
+  FROM pts p
+)
+SELECT j.user_id, round(j.t, 6) AS t, j.value,
+       CASE WHEN j.rt IS NOT NULL AND j.rt - j.t <= 5400 THEN tr.hsum END AS hsum_asof,
+       CASE WHEN j.rt IS NOT NULL AND j.rt - j.t <= 5400 THEN tr.hcnt END AS hcnt_asof,
+       CASE WHEN j.rt IS NOT NULL AND j.rt - j.t <= 5400 THEN j.rt END AS t_asof
+FROM j LEFT JOIN tier tr ON tr.user_id = j.user_id AND tr.t = j.rt
+ORDER BY j.user_id, t, value
+"""
+
+
+def q_asof_nearest(spark, sf_dir):
+    """NEAREST-direction as-of join (pandas merge_asof
+    direction='nearest'; equal distance → backward): closest even-hour
+    bucket either side, within 1.5h. Oracle: independent ANSI — both
+    directional candidates via correlated max/min, closest picked with
+    the same tie rule, equi-joined back for the payload."""
+    from .operators.asof import asof_join
+
+    pts, tier = _asof_fixture(spark, sf_dir)
+    out = asof_join(
+        pts, tier, key_col="user_id", time_col="t",
+        payload_cols=["hsum", "hcnt"], tolerance=5400.0, direction="nearest",
+    )
+    return out.select(
+        "user_id", F.round("t", 6).alias("t"), "value",
+        "hsum_asof", "hcnt_asof", "t_asof",
+    ).orderBy("user_id", "t", "value")
+
+
+SQL_ASOF_NEAREST = """
+WITH pts AS (SELECT user_id, epoch_ms(ts)/1000.0 AS t, value FROM events),
+tier AS (
+  SELECT * FROM (
+    SELECT user_id, CAST(floor(t/3600)*3600 AS DOUBLE) AS t,
+           round(sum(value), 4) AS hsum, count(value) AS hcnt
+    FROM pts GROUP BY 1, 2
+  ) WHERE CAST(t/3600 AS BIGINT) % 2 = 0
+),
+cand AS (
+  SELECT p.user_id, p.t, p.value,
+         (SELECT max(r.t) FROM tier r
+          WHERE r.user_id = p.user_id AND r.t <= p.t AND p.t - r.t <= 5400) AS bt,
+         (SELECT min(r.t) FROM tier r
+          WHERE r.user_id = p.user_id AND r.t >= p.t AND r.t - p.t <= 5400) AS ft
+  FROM pts p
+),
+j AS (
+  SELECT user_id, t, value,
+         CASE WHEN bt IS NOT NULL AND (ft IS NULL OR t - bt <= ft - t) THEN bt
+              ELSE ft END AS rt
+  FROM cand
+)
+SELECT j.user_id, round(j.t, 6) AS t, j.value,
+       tr.hsum AS hsum_asof, tr.hcnt AS hcnt_asof, j.rt AS t_asof
+FROM j LEFT JOIN tier tr ON tr.user_id = j.user_id AND tr.t = j.rt
+ORDER BY j.user_id, t, value
+"""
+
+
 def q_downsample_m4(spark, sf_dir):
     """M4 visualization downsample (Jugel et al. VLDB'14) over hourly
     buckets of the events table: the exact first/last/min/max ROWS per
@@ -390,8 +497,8 @@ WITH pts AS (
 ),
 r AS (
   SELECT *,
-    row_number() OVER (PARTITION BY user_id, bucket_start ORDER BY t ASC)  AS rn_first,
-    row_number() OVER (PARTITION BY user_id, bucket_start ORDER BY t DESC) AS rn_last,
+    row_number() OVER (PARTITION BY user_id, bucket_start ORDER BY t ASC,  value ASC)  AS rn_first,
+    row_number() OVER (PARTITION BY user_id, bucket_start ORDER BY t DESC, value DESC) AS rn_last,
     row_number() OVER (PARTITION BY user_id, bucket_start ORDER BY value ASC,  t ASC) AS rn_min,
     row_number() OVER (PARTITION BY user_id, bucket_start ORDER BY value DESC, t ASC) AS rn_max
   FROM pts
@@ -414,6 +521,44 @@ def q_rollup_1h(spark, sf_dir):
 
 def q_rollup_1d(spark, sf_dir):
     return _rollup_spark(spark, sf_dir, 86400)
+
+
+_TIERS = ((60, "1m"), (3600, "1h"), (86400, "1d"))
+
+
+def q_rollup_tiers(spark, sf_dir):
+    """ALL THREE continuous-aggregate tiers (1m/1h/1d) as one result with a
+    ``tier`` discriminator column. Replaces the three per-tier registry
+    entries from r1–r3 (identical per-tier semantics, same hash coverage)
+    so the driver's 50-entry artifact cap fits the whole registry — the r3
+    artifact recorded only the first 50 of 52 entries. Per-tier functions
+    (q_rollup_1m/...) remain for pytest."""
+    dfs = [
+        _rollup_spark(spark, sf_dir, sec).withColumn("tier", F.lit(name))
+        for sec, name in _TIERS
+    ]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out.select(
+        "tier", "user_id", "bucket_start", "cnt", "vsum", "vmin", "vmax", "vfirst", "vlast"
+    )
+
+
+def _rollup_tiers_sql() -> str:
+    parts = [
+        f"""SELECT '{name}' AS tier, user_id,
+       CAST(floor(t/{sec})*{sec} AS BIGINT) AS bucket_start,
+       count(value) AS cnt, round(sum(value), 4) AS vsum,
+       min(value) AS vmin, max(value) AS vmax,
+       arg_min(value, t) AS vfirst, arg_max(value, t) AS vlast
+FROM pts GROUP BY user_id, bucket_start"""
+        for sec, name in _TIERS
+    ]
+    return (
+        "WITH pts AS (SELECT user_id, epoch_ms(ts)/1000.0 AS t, value FROM events)\n"
+        + "\nUNION ALL\n".join(parts)
+    )
 
 
 def q_rollup_cascade_1h(spark, sf_dir):
@@ -1904,22 +2049,39 @@ def q_langid(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 #: name -> (spark_fn, oracle_sql_or_None)
+#:
+#: SIZED TO THE DRIVER'S 50-ENTRY ARTIFACT CAP: CORRECTNESS_r03 recorded
+#: exactly the first 50 of r3's 52 registry entries (r2 recorded all 44 of
+#: 44), so the registry is kept at ≤50 so EVERY entry lands in the artifact.
+#: Consolidations (all still covered, see docs/COVERAGE.md):
+#:   * q_rollup_1m/1h/1d → one q_rollup_tiers union (identical per-tier
+#:     semantics + hashes);
+#:   * q_ivf_topk/q_lsh_topk (rows-only) retired in favor of
+#:     q_ivf_recall/q_lsh_recall, which run the SAME operators and
+#:     hash-check them against DuckDB brute force (strictly stronger);
+#:   * rows-only q_minhash_pairs/q_simhash_buckets retired in favor of
+#:     their hash-checked *_portable variants (same pipeline, portable hash
+#:     primitive); the xxhash-flavored paths remain pytest-covered.
+#: Entries that fell off the r3 artifact (q_dedup_resolve,
+#: q_excel_roundtrip) are ordered early defensively.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q03_top_orders": (q03_top_orders, SQL_Q03),
     "q05_nation_revenue": (q05_nation_revenue, SQL_Q05),
+    "q_dedup_resolve": (q_dedup_resolve, SQL_DEDUP_RESOLVE),
+    "q_excel_roundtrip": (q_excel_roundtrip, SQL_EXCEL_ROUNDTRIP),
     "q_melt_measures": (q_melt_measures, SQL_MELT),
     "q_outer_join_users": (q_outer_join_users, SQL_OUTER_JOIN),
     "q_nonzero_avg": (q_nonzero_avg, SQL_NONZERO_AVG),
     "q_top5_per_type": (q_top5_per_type, SQL_TOP5),
     "q_gap_detect": (q_gap_detect, SQL_GAP_DETECT),
-    "q_rollup_1m": (q_rollup_1m, _rollup_sql(60)),
-    "q_rollup_1h": (q_rollup_1h, _rollup_sql(3600)),
-    "q_rollup_1d": (q_rollup_1d, _rollup_sql(86400)),
+    "q_rollup_tiers": (q_rollup_tiers, _rollup_tiers_sql()),
     "q_rollup_cascade_1h": (q_rollup_cascade_1h, _rollup_sql(3600)),
     "q_retention_1h": (q_retention_1h, SQL_RETENTION_1H),
     "q_downsample_m4": (q_downsample_m4, SQL_DOWNSAMPLE_M4),
     "q_asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "q_asof_forward": (q_asof_forward, SQL_ASOF_FORWARD),
+    "q_asof_nearest": (q_asof_nearest, SQL_ASOF_NEAREST),
     "q_head_tail_avg": (q_head_tail_avg, SQL_HEAD_TAIL),
     "q_level_shift_days": (q_level_shift_days, SQL_LEVEL_SHIFT),
     "q_global_mad": (q_global_mad, SQL_GLOBAL_MAD),
@@ -1941,22 +2103,16 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # rows-only (non-SQL-expressible; parity via pytest instead)
     "q_correct_series": (q_correct_series, None),
     "q_correct_chunked": (q_correct_chunked, None),
-    "q_minhash_pairs": (q_minhash_pairs, None),
-    "q_simhash_buckets": (q_simhash_buckets, None),
-    # same algorithms with an engine-portable hash primitive → value-checked
+    # dedup/similarity with an engine-portable hash primitive → value-checked
     "q_minhash_portable": (q_minhash_portable, SQL_MINHASH_PORTABLE),
     "q_simhash_portable": (q_simhash_portable, SQL_SIMHASH_PORTABLE),
     "q_langid": (q_langid, _langid_sql()),
     "q_fingerprint_dups": (q_fingerprint_dups, SQL_FINGERPRINT_DUPS),
     "q_embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
-    "q_ivf_topk": (q_ivf_topk, None),
-    "q_lsh_topk": (q_lsh_topk, None),
     "q_ivf_recall": (q_ivf_recall, SQL_KNN),
     "q_lsh_recall": (q_lsh_recall, SQL_KNN),
     "q_gapfill_linear": (q_gapfill_linear, SQL_GAPFILL),
     "q_outlier_flags": (q_outlier_flags, SQL_OUTLIER_FLAGS),
     "q_compare_raw_corrected": (q_compare_raw_corrected, SQL_COMPARE_RAW_CORRECTED),
     "q_overview_table": (q_overview_table, SQL_OVERVIEW),
-    "q_dedup_resolve": (q_dedup_resolve, SQL_DEDUP_RESOLVE),
-    "q_excel_roundtrip": (q_excel_roundtrip, SQL_EXCEL_ROUNDTRIP),
 }

@@ -710,3 +710,88 @@ def test_asof_join_matches_merge_asof(spark):
     # the forced equal-timestamp row matched (inclusive semantics)
     eq = got[(got.series_key == "a")].iloc[5]
     assert not pd.isna(eq["quote_asof"]) and eq["t_asof"] == eq["t"]
+
+
+def _asof_fixture_pdfs(seed=7):
+    rng = np.random.default_rng(seed)
+    left_rows, right_rows = [], []
+    for key in ("a", "b", "c"):
+        lt = np.sort(rng.choice(np.arange(0, 5000, 10.0), size=100, replace=False))
+        rt = np.sort(rng.choice(np.arange(0, 5000, 10.0), size=20, replace=False))
+        rt[0] = lt[5]  # equal-timestamp row exercises allow_exact_matches
+        left_rows += [(key, float(t), float(i)) for i, t in enumerate(lt)]
+        right_rows += [(key, float(t), float(100 + i)) for i, t in enumerate(rt)]
+    lpdf = pd.DataFrame(left_rows, columns=["series_key", "t", "value"])
+    rpdf = pd.DataFrame(right_rows, columns=["series_key", "t", "quote"])
+    return lpdf, rpdf
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+@pytest.mark.parametrize("exact", [True, False])
+def test_asof_join_directions_match_merge_asof(spark, direction, exact):
+    """asof_join vs pandas merge_asof across all three directions and both
+    allow_exact_matches settings (r3 verdict #7: full merge_asof surface)."""
+    from series_correction_project_updated_spark.operators.asof import asof_join
+
+    lpdf, rpdf = _asof_fixture_pdfs()
+    got = (
+        asof_join(
+            spark.createDataFrame(lpdf),
+            spark.createDataFrame(rpdf),
+            tolerance=900.0,
+            direction=direction,
+            allow_exact_matches=exact,
+        )
+        .orderBy("series_key", "t")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        lpdf.sort_values("t"),
+        rpdf.sort_values("t"),
+        on="t",
+        by="series_key",
+        direction=direction,
+        tolerance=900.0,
+        allow_exact_matches=exact,
+    ).sort_values(["series_key", "t"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    pd.testing.assert_series_equal(got["quote_asof"], want["quote"], check_names=False)
+    if direction != "nearest":  # one-sided search leaves some rows unmatched
+        assert got["quote_asof"].isna().any()
+
+
+def test_asof_join_tiebreaker_deterministic(spark):
+    """Duplicate right rows at the same (key, t): the greatest-tiebreaker
+    row wins in every direction (r3 ADVICE — without a tiebreaker the
+    winner is partition-order-dependent)."""
+    from series_correction_project_updated_spark.operators.asof import asof_join
+
+    lpdf = pd.DataFrame({"series_key": ["a", "a"], "t": [10.0, 30.0], "value": [1.0, 2.0]})
+    # three right rows at t=10 with distinct seq; greatest seq must win
+    rpdf = pd.DataFrame(
+        {
+            "series_key": ["a"] * 3 + ["a"] * 3,
+            "t": [10.0] * 3 + [40.0] * 3,
+            "quote": [101.0, 102.0, 103.0, 201.0, 202.0, 203.0],
+            "seq": [1, 2, 3, 1, 2, 3],
+        }
+    )
+    for direction, t_expect, q_expect in [
+        ("backward", {10.0: 103.0, 30.0: 103.0}, None),
+        ("forward", {10.0: 103.0, 30.0: 203.0}, None),
+        ("nearest", {10.0: 103.0, 30.0: 203.0}, None),
+    ]:
+        got = (
+            asof_join(
+                spark.createDataFrame(lpdf).repartition(4),
+                spark.createDataFrame(rpdf).repartition(4),
+                payload_cols=["quote"],
+                direction=direction,
+                tiebreaker="seq",
+            )
+            .orderBy("t")
+            .toPandas()
+        )
+        for lt, want_q in t_expect.items():
+            assert got[got.t == lt]["quote_asof"].iloc[0] == want_q, (direction, lt)
