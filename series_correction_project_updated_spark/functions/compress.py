@@ -15,10 +15,15 @@ retention tiers to store points as `binary`. Encode/decode are exact
 Encoding is NumPy-vectorized: per-element variable-length codes are computed
 columnar (bit_length/clz/ctz via shift cascades, delta-of-delta buckets via
 masks), then scattered into one bit plane with ≤64 vectorized passes and
-``np.packbits``. The only sequential part is the Gorilla window-reuse state
-scan (a cheap comparison loop). Decoding stays sequential by nature (every
-field depends on the previous) but reads whole fields, not single bits —
-it is the verification path, not the hot path.
+``np.packbits``. Decoding is BLOCK-vectorized (r3 verdict #2): the whole
+payload unpacks to a bit plane once, per-position class/length tables are
+computed columnar, a minimal scalar chain walk recovers only the field START
+positions (each field's position depends on every previous field's length —
+the one irreducibly sequential part of a prefix-coded stream), and then all
+payload bits are gathered, sign-extended, and prefix-summed (cumsum for
+timestamps, ``bitwise_xor.accumulate`` for values) in vectorized passes.
+Legacy GOR1 payloads and the property-test reference use the original
+field-at-a-time scalar decoder (``_decode_*_scalar``).
 """
 
 from __future__ import annotations
@@ -179,7 +184,7 @@ def _encode_timestamps_codes(ts: np.ndarray) -> tuple[list, list]:
     return [head_codes, first, inter_codes], [head_lens, np.array([64]), inter_lens]
 
 
-def decode_timestamps(r: _BitReader, n: int, legacy_v1: bool = False) -> np.ndarray:
+def _decode_timestamps_scalar(r: _BitReader, n: int, legacy_v1: bool = False) -> np.ndarray:
     out = np.empty(n, dtype=np.int64)
     first = r.read(64)
     if first >= 1 << 63:
@@ -292,7 +297,7 @@ def _encode_values_codes(values: np.ndarray) -> tuple[list, list]:
     return [head, codes], [head_len, lens]
 
 
-def decode_values(r: _BitReader, n: int) -> np.ndarray:
+def _decode_values_scalar(r: _BitReader, n: int) -> np.ndarray:
     out = np.empty(n, dtype=np.uint64)
     prev = r.read(64)
     out[0] = prev
@@ -310,6 +315,273 @@ def decode_values(r: _BitReader, n: int) -> np.ndarray:
         prev ^= x
         out[i] = prev
     return out.view(np.float64)
+
+
+# ---------------------------------------------------------------------------
+# Vectorized block decode (GOR2 hot path)
+# ---------------------------------------------------------------------------
+
+
+def _gather_fields(buf: np.ndarray, pos: np.ndarray, length: np.ndarray) -> np.ndarray:
+    """Vectorized unaligned bit-field read: for each (pos, 1 ≤ length ≤ 64)
+    return the MSB-first ``length``-bit value starting at bit ``pos``.
+
+    One fancy-indexed gather of 8 bytes per field viewed as big-endian
+    uint64, plus the following byte to cover the worst-case 7-bit skew —
+    the vector inverse of ``_pack_codes``'s scatter.  ``buf`` must carry
+    ≥9 padding bytes past the last addressed field (``_padded_buf``).
+    """
+    b = (pos >> 3).astype(np.int64)
+    o = (pos & 7).astype(np.uint64)
+    v1 = buf[b[:, None] + np.arange(8)].view(">u8").ravel().astype(np.uint64)
+    v2 = buf[b + 8].astype(np.uint64)
+    full = (v1 << o) | (v2 >> (np.uint64(8) - o))  # o=0 → v2>>8 == 0
+    return full >> (np.uint64(64) - length.astype(np.uint64))
+
+
+def _padded_buf(data: bytes) -> np.ndarray:
+    return np.concatenate([np.frombuffer(data, dtype=np.uint8), np.zeros(16, np.uint8)])
+
+
+def _bits_val(bits: np.ndarray, pos: int, width: int) -> int:
+    """Scalar ≤64-bit read from the unpacked bit plane (cold path: only
+    window/class headers, a handful per run)."""
+    v = 0
+    for j in range(width):
+        v = (v << 1) | int(bits[pos + j])
+    return v
+
+
+def _zero_run(bits: np.ndarray, pos: int, cap: int) -> int:
+    """Length of the run of 0-bits starting at ``pos``, capped — counts
+    consecutive 1-bit '0' fields in one vectorized scan (growing blocks)."""
+    count = 0
+    block = 256
+    while count < cap:
+        e = min(count + block, cap)
+        seg = bits[pos + count : pos + e]
+        j = int(seg.argmax())  # first 1, or 0 if all-zero
+        if seg[j]:
+            return count + j
+        count = e
+        block <<= 1
+    return cap
+
+
+def _stride_run(bits: np.ndarray, pos: int, stride: int, cap: int, ones: int, term: bool) -> int:
+    """Count consecutive fixed-``stride`` fields starting at ``pos`` whose
+    header is ``ones`` 1-bits (followed by a 0-bit iff ``term``) — e.g.
+    '10'+payload reuse fields (ones=1, term=True) or a dod class. The
+    first field is known-valid; candidates are checked in vectorized
+    growing blocks (start positions are arithmetic while the run holds).
+    Candidates past the padded bit plane can't exist (padding bits are 0,
+    so they'd fail the ones-check anyway) — clamp to stay indexable."""
+    probe = ones + (1 if term else 0)
+    cap = min(cap, (len(bits) - probe - pos) // stride + 1)
+    if cap >= 2:  # scalar peek at candidate 2: run-of-1 exits numpy-free
+        q = pos + stride
+        good = all(bits[q + j] for j in range(ones))
+        if good and term and bits[q + ones]:
+            good = False
+        if not good:
+            return 1
+    count = 1
+    block = 64
+    while count < cap:
+        e = min(count + block, cap)
+        qs = pos + stride * np.arange(count, e, dtype=np.int64)
+        ok = np.ones(len(qs), dtype=bool)
+        for j in range(ones):
+            ok &= bits[qs + j] == 1
+        if term:
+            ok &= bits[qs + ones] == 0
+        bad = np.flatnonzero(~ok)
+        if len(bad):
+            return count + int(bad[0])
+        count = e
+        block <<= 1
+    return cap
+
+
+def _sign_extend(raw: np.ndarray, bits: int) -> np.ndarray:
+    if bits == 64:
+        return raw.view(np.int64)
+    out = raw.astype(np.int64)
+    return np.where(out >= 1 << (bits - 1), out - (1 << bits), out)
+
+
+def _expand_runs(runs: list, with_shift: bool):
+    """Expand recorded (idx, count, pos0, stride, pay[, shift]) runs into
+    flat per-field (dst, pos, len[, shift]) arrays — the repeat/cumsum
+    trick, so payloads for ALL runs gather in one pass regardless of how
+    short individual runs were."""
+    cols = list(zip(*runs))
+    cnts = np.array(cols[1], dtype=np.int64)
+    total = int(cnts.sum())
+
+    def rep(vals):
+        return np.repeat(np.array(vals, dtype=np.int64), cnts)
+
+    intra = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(cnts) - cnts, cnts)
+    dst = rep(cols[0]) + intra
+    ps = rep(cols[2]) + rep(cols[3]) * intra
+    lens = rep(cols[4])
+    if with_shift:
+        return dst, ps, lens, rep(cols[5])
+    return dst, ps, lens
+
+
+#: leading-ones class c → (header bits, payload bits); c=0 is the '0' field
+_DOD_HDR_PAY = {1: (2, 7), 2: (3, 9), 3: (4, 12), 4: (5, 32), 5: (5, 64)}
+
+
+#: after this many walk iterations, re-evaluate run-collapse efficiency
+_RUN_PROBE = 64
+#: below this average fields-per-iteration, switch to the chain fallback
+_RUN_MIN_AVG = 4.0
+
+
+def _ts_chain_tail(bits: np.ndarray, pos: int, count: int) -> tuple[np.ndarray, np.ndarray]:
+    """Chain-walk fallback for run-hostile dod streams (classes alternate
+    every field or two, so per-run vector overhead loses): per-position
+    class/length tables are built columnar over the remaining plane, the
+    walk is a plain list-indexed position chase, and (starts, classes)
+    come back as arrays for the same columnar payload extraction."""
+    nb = len(bits)
+    pad = np.concatenate([bits, np.zeros(5, np.uint8)]).astype(np.int64)
+    ones = [pad[j : j + nb] for j in range(5)]  # ones[j][p] == bits[p+j]
+    cls_at = (
+        ones[0]
+        + ones[0] * ones[1]
+        + ones[0] * ones[1] * ones[2]
+        + ones[0] * ones[1] * ones[2] * ones[3]
+        + ones[0] * ones[1] * ones[2] * ones[3] * ones[4]
+    )
+    len_at = np.array([1, 9, 12, 16, 37, 69], dtype=np.int64)[cls_at]
+    lens = len_at.tolist()
+    starts = []
+    append = starts.append
+    for _ in range(count):
+        append(pos)
+        pos += lens[pos]
+    starts = np.array(starts, dtype=np.int64)
+    return starts, cls_at[starts]
+
+
+def _decode_timestamps_vec(data: bytes, n: int) -> np.ndarray:
+    """Run-collapsing block decode: the stream is walked RUN by run, not
+    field by field — a run of dod=0 fields is one vectorized zero-scan, a
+    run of same-class fields has arithmetic start positions checked in one
+    vectorized pass. Rollup-tier timestamps are near-regular (dod≈0), so
+    the walk does O(#irregularities) Python iterations for n fields, then
+    payloads gather + sign-extend + double-cumsum columnar. Streams where
+    classes flip every field or two (runs don't pay) are detected after
+    ``_RUN_PROBE`` iterations and finish on the chain-walk fallback."""
+    out = np.empty(n, dtype=np.int64)
+    head = int.from_bytes(data[0:8], "big")
+    out[0] = head - (1 << 64) if head >= 1 << 63 else head
+    if n == 1:
+        return out
+    first_delta = _unzigzag(int.from_bytes(data[8:16], "big"))
+    if n == 2:
+        out[1] = out[0] + first_delta
+        return out
+    m = n - 2
+    buf = _padded_buf(data)
+    bits = np.unpackbits(buf)
+    dod = np.zeros(m, dtype=np.int64)
+    pos = 128
+    i = 0
+    iters = 0
+    runs = []  # (field_idx, count, payload_pos0, stride, pay_bits)
+    chain: tuple[np.ndarray, np.ndarray] | None = None
+    while i < m:
+        iters += 1
+        if iters > _RUN_PROBE and i / iters < _RUN_MIN_AVG:
+            chain = (_ts_chain_tail(bits, pos, m - i), i)
+            break
+        if bits[pos] == 0:
+            k = _zero_run(bits, pos, m - i)
+            pos += k
+            i += k
+            continue
+        c = 1
+        while c < 5 and bits[pos + c]:
+            c += 1
+        hdr, pay = _DOD_HDR_PAY[c]
+        stride = hdr + pay
+        cnt = _stride_run(bits, pos, stride, m - i, ones=c, term=c < 5)
+        runs.append((i, cnt, pos + hdr, stride, pay))
+        pos += stride * cnt
+        i += cnt
+    if runs:
+        dst, ps, lens = _expand_runs(runs, with_shift=False)
+        raw = _gather_fields(buf, ps, lens)
+        for _c, (_hdr, pay) in _DOD_HDR_PAY.items():
+            sel = lens == pay
+            if sel.any():
+                dod[dst[sel]] = _sign_extend(raw[sel], pay)
+    if chain is not None:
+        (starts, cls), i0 = chain
+        for c, (hdr, pay) in _DOD_HDR_PAY.items():
+            sel = np.flatnonzero(cls == c)
+            if len(sel) == 0:
+                continue
+            raw = _gather_fields(buf, starts[sel] + hdr, np.full(len(sel), pay, np.int64))
+            dod[i0 + sel] = _sign_extend(raw, pay)
+    deltas = np.empty(n - 1, dtype=np.int64)
+    deltas[0] = first_delta
+    np.cumsum(dod, out=deltas[1:])
+    deltas[1:] += first_delta
+    np.cumsum(deltas, out=out[1:])
+    out[1:] += out[0]
+    return out
+
+
+def _decode_values_vec(data: bytes, n: int) -> np.ndarray:
+    """Run-collapsing block decode of the XOR stream. Gorilla windows are
+    long-lived (the reuse condition only tightens at a violation), so the
+    stream is dominated by fixed-stride '10'+payload runs and '0' repeats —
+    both collapse to one vectorized scan each; '11' window headers are the
+    only per-field scalar work. Payloads then gather in one pass and the
+    values materialize via ``bitwise_xor.accumulate``."""
+    head = int.from_bytes(data[0:8], "big")
+    if n == 1:
+        return np.array([head], dtype=np.uint64).view(np.float64)
+    m = n - 1
+    buf = _padded_buf(data)
+    bits = np.unpackbits(buf)
+    pos = 64
+    i = 0
+    lead = length = 0
+    runs = []  # (field_idx, count, payload_pos0, stride, pay_bits, lshift)
+    while i < m:
+        if bits[pos] == 0:
+            k = _zero_run(bits, pos, m - i)
+            pos += k
+            i += k
+            continue
+        if bits[pos + 1]:  # '11' — new window header (scalar, rare)
+            lead = _bits_val(bits, pos + 2, 5)
+            length = _bits_val(bits, pos + 7, 6) + 1
+            runs.append((i, 1, pos + 13, 0, length, 64 - lead - length))
+            pos += 13 + length
+            i += 1
+            continue
+        stride = 2 + length  # '10' reuse run — arithmetic starts
+        cnt = _stride_run(bits, pos, stride, m - i, ones=1, term=True)
+        runs.append((i, cnt, pos + 2, stride, length, 64 - lead - length))
+        pos += stride * cnt
+        i += cnt
+    xors = np.zeros(m, dtype=np.uint64)
+    if runs:
+        dst, ps, lens, shf = _expand_runs(runs, with_shift=True)
+        raw = _gather_fields(buf, ps, lens)
+        xors[dst] = raw << shf.astype(np.uint64)
+    out = np.empty(n, dtype=np.uint64)
+    out[0] = head
+    out[1:] = xors
+    return np.bitwise_xor.accumulate(out).view(np.float64)
 
 
 # ---------------------------------------------------------------------------
@@ -332,8 +604,23 @@ def decode_chunk(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
     magic = payload[:4]
     assert magic in (MAGIC, MAGIC_V1), "bad magic"
     n, tlen = struct.unpack("<IQ", payload[4:16])
-    ts = decode_timestamps(
+    tseg, vseg = payload[16 : 16 + tlen], payload[16 + tlen :]
+    if magic == MAGIC_V1:  # legacy stream: scalar decoder understands it
+        return (
+            _decode_timestamps_scalar(_BitReader(tseg), n, legacy_v1=True),
+            _decode_values_scalar(_BitReader(vseg), n),
+        )
+    return _decode_timestamps_vec(tseg, n), _decode_values_vec(vseg, n)
+
+
+def decode_chunk_scalar(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Field-at-a-time reference decoder (any magic) — the property-test
+    cross-check for the vectorized hot path."""
+    magic = payload[:4]
+    assert magic in (MAGIC, MAGIC_V1), "bad magic"
+    n, tlen = struct.unpack("<IQ", payload[4:16])
+    ts = _decode_timestamps_scalar(
         _BitReader(payload[16 : 16 + tlen]), n, legacy_v1=magic == MAGIC_V1
     )
-    vals = decode_values(_BitReader(payload[16 + tlen :]), n)
+    vals = _decode_values_scalar(_BitReader(payload[16 + tlen :]), n)
     return ts, vals

@@ -581,6 +581,40 @@ def q_rollup_cascade_1h(spark, sf_dir):
     )
 
 
+def q_compress_roundtrip(spark, sf_dir):
+    """Gorilla compress → block-decompress roundtrip of the 1m tier
+    (r3 verdict #2): the tier is encoded into binary chunks
+    (operators.compress.compress_rollup — delta-of-delta timestamps +
+    XOR values) and decoded back by the VECTORIZED block decoder
+    (functions.compress._decode_*_vec); the oracle is the plain 1m
+    rollup in DuckDB, so a single flipped bit anywhere in
+    encode/pack/gather/decode breaks the hash. chunk_buckets=512 forces
+    multiple chunks per series at sf0.01 (chunk-boundary coverage)."""
+    from .operators.compress import compress_rollup, decompress_to_points
+    from .operators.rollup import rollup
+
+    pts = _event_points(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("series_key"), "t", "value"
+    )
+    tier = rollup(pts, "1m").withColumn("vsum", F.round("vsum", 4))
+    comp = compress_rollup(tier, "1m", value_col="vsum", chunk_buckets=512)
+    out = decompress_to_points(comp)
+    return out.select(
+        F.col("series_key").cast("long").alias("user_id"),
+        "bucket_start",
+        F.col("value").alias("vsum"),
+    ).orderBy("user_id", "bucket_start")
+
+
+SQL_COMPRESS_ROUNDTRIP = """
+WITH pts AS (SELECT user_id, epoch_ms(ts)/1000.0 AS t, value FROM events)
+SELECT user_id, CAST(floor(t/60)*60 AS BIGINT) AS bucket_start,
+       round(sum(value), 4) AS vsum
+FROM pts GROUP BY user_id, bucket_start
+ORDER BY user_id, bucket_start
+"""
+
+
 def q_head_tail_avg(spark, sf_dir):
     """First/last-5 non-zero averages per series (A3 —
     apply_refined_corrections.py:175-180)."""
@@ -2078,6 +2112,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q_rollup_tiers": (q_rollup_tiers, _rollup_tiers_sql()),
     "q_rollup_cascade_1h": (q_rollup_cascade_1h, _rollup_sql(3600)),
     "q_retention_1h": (q_retention_1h, SQL_RETENTION_1H),
+    "q_compress_roundtrip": (q_compress_roundtrip, SQL_COMPRESS_ROUNDTRIP),
     "q_downsample_m4": (q_downsample_m4, SQL_DOWNSAMPLE_M4),
     "q_asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "q_asof_forward": (q_asof_forward, SQL_ASOF_FORWARD),

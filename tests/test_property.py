@@ -320,3 +320,50 @@ def test_bit_length_u64_random(vals):
     got = codec._bit_length_u64(arr)
     want = np.array([v.bit_length() for v in vals], dtype=np.int64)
     np.testing.assert_array_equal(got, want)
+
+
+# --- Vectorized block decoder == scalar reference decoder ---------------------
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=400
+    ),
+    st.data(),
+)
+def test_vectorized_decode_matches_scalar(deltas, data):
+    """The run-collapsing vectorized decoder (r3 verdict #2) must be
+    bit-identical to the field-at-a-time scalar reference on arbitrary
+    dod classes (incl. 32/64-bit escapes), window churn, and NaN values."""
+    ts = np.cumsum(np.asarray(deltas, dtype=np.int64))
+    vals = np.array(
+        data.draw(st.lists(finite_or_special, min_size=len(ts), max_size=len(ts))),
+        dtype=np.float64,
+    )
+    payload = codec.encode_chunk(ts, vals)
+    t_vec, v_vec = codec.decode_chunk(payload)
+    t_sca, v_sca = codec.decode_chunk_scalar(payload)
+    assert (t_vec == t_sca).all() and (t_vec == ts).all()
+    assert (v_vec.view(np.uint64) == v_sca.view(np.uint64)).all()
+    assert (v_vec.view(np.uint64) == vals.view(np.uint64)).all()
+
+
+def test_vectorized_decode_fallback_paths():
+    """Force both walk strategies on large inputs: a run-friendly regular
+    stream (no fallback) and a class-churning stream that trips the
+    _RUN_PROBE heuristic into the chain-walk tail."""
+    rng = np.random.default_rng(11)
+    n = 30_000
+    cases = [
+        np.arange(n, dtype=np.int64) * 60,  # dod=0 runs
+        np.cumsum(np.tile([60, 120], n // 2)[:n]).astype(np.int64),  # one class run
+        np.cumsum(rng.integers(-(10**12), 10**12, size=n)).astype(np.int64),  # fallback
+        np.cumsum(rng.choice([60, 60, 60, 120, 300], size=n)).astype(np.int64),  # mixed
+    ]
+    for ts in cases:
+        vals = np.cumsum(rng.normal(0, 1, n)).round(3)
+        payload = codec.encode_chunk(ts, vals)
+        t_vec, v_vec = codec.decode_chunk(payload)
+        assert (t_vec == ts).all()
+        assert (v_vec.view(np.uint64) == vals.view(np.uint64)).all()
