@@ -34,6 +34,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from series_correction_project_updated_spark.operators.retention import (  # noqa: E402
     apply_retention,
     expire_partition_dirs,
+    list_partition_dirs,
 )
 from series_correction_project_updated_spark.session import get_spark  # noqa: E402
 
@@ -47,20 +48,18 @@ def main() -> None:
 
     now = args.now if args.now is not None else time.time()
     cutoff = now - args.keep_days * 86400.0
-    removed = expire_partition_dirs(args.tier_dir, cutoff)
+    # expiry runs through the Hadoop FileSystem API (spark-backed), so the
+    # tier store may live on s3a://, hdfs://, or a local path alike
+    spark = get_spark(app_name="retention")
+    removed = expire_partition_dirs(args.tier_dir, cutoff, spark=spark)
 
     # A policy horizon older than ALL data removes every partition; reading
     # the now-empty store would raise (parquet can't infer a schema from
     # zero files), crashing after the deletes — report 0 instead (r3 ADVICE).
-    has_live = any(
-        e.startswith("bucket_date=") for e in os.listdir(args.tier_dir)
-    ) if os.path.isdir(args.tier_dir) else False
-    if has_live:
-        spark = get_spark(app_name="retention")
+    if list_partition_dirs(args.tier_dir, spark=spark):
         tier = spark.read.parquet(args.tier_dir)
         remaining = apply_retention(tier, args.keep_days * 86400.0, now_ts=now).count()
     else:
-        spark = None
         remaining = 0
     print(
         json.dumps(
@@ -72,8 +71,7 @@ def main() -> None:
             }
         )
     )
-    if spark is not None:
-        spark.stop()
+    spark.stop()
 
 
 if __name__ == "__main__":

@@ -81,32 +81,74 @@ def retention_cascade(
     }
 
 
-def expire_partition_dirs(tier_path: str, cutoff_ts: float) -> list[str]:
+def _day_end(entry: str) -> float | None:
+    """``bucket_date=YYYY-MM-DD`` → epoch-seconds of the END of that UTC
+    day, or None if the entry isn't a date partition."""
+    if not entry.startswith("bucket_date="):
+        return None
+    day = entry.split("=", 1)[1]
+    try:
+        return (
+            datetime.strptime(day, "%Y-%m-%d").replace(tzinfo=timezone.utc).timestamp()
+            + 86400.0
+        )
+    except ValueError:
+        return None  # not a date partition — leave it alone
+
+
+def list_partition_dirs(tier_path: str, spark=None) -> list[str]:
+    """Names of ``bucket_date=`` child directories, via the Hadoop
+    FileSystem API when a SparkSession is given (works on s3a/hdfs/file
+    URIs — the same resolution every Spark source uses), else
+    ``os.listdir``."""
+    if spark is None:
+        if not os.path.isdir(tier_path):
+            return []
+        return sorted(e for e in os.listdir(tier_path) if e.startswith("bucket_date="))
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(tier_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return []
+    return sorted(
+        s.getPath().getName()
+        for s in fs.listStatus(jpath)
+        if s.isDirectory() and s.getPath().getName().startswith("bucket_date=")
+    )
+
+
+def expire_partition_dirs(tier_path: str, cutoff_ts: float, spark=None) -> list[str]:
     """Drop ``bucket_date=YYYY-MM-DD`` partition directories whose whole
     day lies strictly before ``cutoff_ts``. Returns the removed dirs.
 
     Metadata-only: no surviving file is read or rewritten. A directory
     containing ANY live bucket (its day ends after the cutoff) is kept —
     conservative, so logical retention remains the source of truth and
-    physical expiry just reclaims storage behind it. Local-filesystem
-    implementation; on object storage the same walk runs against the
-    FileSystem API (list + recursive delete per partition prefix).
+    physical expiry just reclaims storage behind it.
+
+    With a SparkSession the walk runs through the Hadoop FileSystem API
+    (r3 verdict #3) — ``Path.getFileSystem`` + ``listStatus`` +
+    recursive ``delete`` — so ``s3a://`` / ``hdfs://`` / ``file:`` tier
+    stores expire exactly like local ones (object stores translate the
+    recursive delete to a bulk key delete; still O(#partitions) metadata
+    work, zero data rewrite). Without a session it falls back to the
+    local-filesystem walk.
     """
     removed: list[str] = []
-    if not os.path.isdir(tier_path):
+    if spark is None:
+        for entry in list_partition_dirs(tier_path):
+            de = _day_end(entry)
+            if de is not None and de <= cutoff_ts:
+                shutil.rmtree(os.path.join(tier_path, entry))
+                removed.append(entry)
         return removed
-    for entry in sorted(os.listdir(tier_path)):
-        if not entry.startswith("bucket_date="):
-            continue
-        day = entry.split("=", 1)[1]
-        try:
-            day_end = datetime.strptime(day, "%Y-%m-%d").replace(
-                tzinfo=timezone.utc
-            ).timestamp() + 86400.0
-        except ValueError:
-            continue  # not a date partition — leave it alone
-        if day_end <= cutoff_ts:
-            shutil.rmtree(os.path.join(tier_path, entry))
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(tier_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    for entry in list_partition_dirs(tier_path, spark):
+        de = _day_end(entry)
+        if de is not None and de <= cutoff_ts:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(root, entry), True)
             removed.append(entry)
     return removed
 
