@@ -94,12 +94,15 @@ def downsample_m4(
     determinism.
 
     Shape: four ``row_number`` windows over the same (key, bucket)
-    clustering — ONE shuffle, all four ranks computed in a single window
-    stage, then a distinct on the kept rows. At serving scale note the
-    aggregate form is usually free: the rollup tiers already carry
-    vmin/vmax/vfirst/vlast, so M4 VALUES fall out of ``rollup()`` — this
-    operator is for when the exact source rows (with their timestamps)
-    are required.
+    clustering — one shuffle carrying EVERY input row, then four
+    in-partition sorts (one per ordering; they are separate sort passes,
+    not a single stage) and a distinct. Kept as the reference shape and
+    for value-null inputs; ``downsample_m4_agg`` is the sort-free
+    aggregate form that wins at scale (measured ~1.8× at sf0.1 and
+    shuffles only 4 structs per bucket instead of all rows — see
+    BENCH/BASELINE.md). At serving scale note the M4 VALUES (without
+    their timestamps) are already free in the rollup tiers
+    (vmin/vmax/vfirst/vlast).
     """
     from pyspark.sql import Window
 
@@ -131,3 +134,47 @@ def downsample_m4(
         | (F.col("rn_max") == 1)
     )
     return kept.select(key_col, "bucket_start", time_col, value_col).distinct()
+
+
+def downsample_m4_agg(
+    points: DataFrame,
+    bucket_sec: float,
+    key_col: str = "series_key",
+    time_col: str = "t",
+    value_col: str = "value",
+) -> DataFrame:
+    """M4 as a pure AGGREGATE (r3 verdict #5): per (key, bucket) the four
+    role rows are lexicographic min/max over (t, value) / (value, ±t)
+    structs — sort-free, and the map-side partial aggregate shuffles only
+    four structs per bucket instead of every input row, which is the
+    difference between an all-data shuffle and a metadata-sized one at
+    10^12 rows. Output and tie-breaks are IDENTICAL to ``downsample_m4``
+    (same four total orders; ``rn_max``'s (value desc, t asc) order is
+    ``max`` over (value, -t)) for non-null values; null values are not
+    supported here (struct comparison would order them first, not last —
+    use the window shape for nullable inputs).
+    """
+    t, v = F.col(time_col), F.col(value_col)
+    bucket = (F.floor(t / bucket_sec) * bucket_sec).cast("long").alias("bucket_start")
+    agg = points.groupBy(F.col(key_col), bucket).agg(
+        F.min(F.struct(t.alias("t"), v.alias("v"))).alias("r_first"),
+        F.max(F.struct(t.alias("t"), v.alias("v"))).alias("r_last"),
+        F.min(F.struct(v.alias("v"), t.alias("t"))).alias("r_min"),
+        F.max(F.struct(v.alias("v"), (-t).alias("nt"))).alias("r_max"),
+    )
+    roles = F.array(
+        F.struct(F.col("r_first.t").alias("t"), F.col("r_first.v").alias("v")),
+        F.struct(F.col("r_last.t").alias("t"), F.col("r_last.v").alias("v")),
+        F.struct(F.col("r_min.t").alias("t"), F.col("r_min.v").alias("v")),
+        F.struct((-F.col("r_max.nt")).alias("t"), F.col("r_max.v").alias("v")),
+    )
+    return (
+        agg.select(key_col, "bucket_start", F.explode(roles).alias("p"))
+        .select(
+            key_col,
+            "bucket_start",
+            F.col("p.t").alias(time_col),
+            F.col("p.v").alias(value_col),
+        )
+        .distinct()
+    )

@@ -795,3 +795,26 @@ def test_asof_join_tiebreaker_deterministic(spark):
         )
         for lt, want_q in t_expect.items():
             assert got[got.t == lt]["quote_asof"].iloc[0] == want_q, (direction, lt)
+
+
+def test_downsample_m4_agg_equals_window_shape(spark):
+    """The sort-free aggregate M4 must pick EXACTLY the same rows as the
+    four-row_number window shape, including under duplicate timestamps
+    and duplicate values (both total orders tie-break identically)."""
+    from series_correction_project_updated_spark.operators.rollup import (
+        downsample_m4,
+        downsample_m4_agg,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for key in ("a", "b"):
+        for i in range(4000):
+            t = float(rng.integers(0, 40) * 250)  # heavy timestamp ties
+            v = float(rng.integers(-3, 4))  # heavy value ties
+            rows.append((key, t, v))
+    pts = spark.createDataFrame(pd.DataFrame(rows, columns=["series_key", "t", "value"]))
+    w = downsample_m4(pts, 1000.0)
+    a = downsample_m4_agg(pts, 1000.0)
+    assert w.exceptAll(a).count() == 0 and a.exceptAll(w).count() == 0
+    assert w.count() > 0
