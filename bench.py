@@ -45,6 +45,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from series_correction_project_updated_spark.operators.compress import (  # noqa: E402
     bytes_per_point,
     compress_rollup,
+    decompress_to_points,
 )
 from series_correction_project_updated_spark.operators.correct import (  # noqa: E402
     correct_and_rollup,
@@ -55,25 +56,26 @@ from series_correction_project_updated_spark.operators.rollup import rollup_all_
 from series_correction_project_updated_spark.queries import REGISTRY  # noqa: E402
 from series_correction_project_updated_spark.session import get_spark  # noqa: E402
 
+# r4: tracks the consolidated registry — q_rollup_1m→q_rollup_tiers,
+# q_ivf_topk→q_ivf_recall, minhash/simhash rows-only variants→portable
+# (hash-checked) ones; new r4 operators appended
 BENCH_QUERIES = [
     "q01_pricing_summary",
     "q05_nation_revenue",
     "q_gap_detect",
-    "q_rollup_1m",
+    "q_rollup_tiers",
     "q_rollup_cascade_1h",
     "q_level_shift_days",
     "q_global_mad",
     "q_dedup_exact",
     "q_token_count",
     "q_knn_cosine",
-    "q_ivf_topk",
+    "q_ivf_recall",
     "q14_promo_revenue",
     "q_rolling_stats",
     "q_interpolate_nulls",
     "q_word_overlap_pairs",
     "q_correct_series",
-    "q_minhash_pairs",
-    "q_simhash_buckets",
     "q_fingerprint_dups",
     "q_outlier_flags",
     "q_dedup_resolve",
@@ -83,6 +85,9 @@ BENCH_QUERIES = [
     "q_retention_1h",
     "q_downsample_m4",
     "q_asof_join",
+    "q_asof_forward",
+    "q_compress_roundtrip",
+    "q_stream_rollup_1m",
 ]
 
 #: documented clean single-thread rate on this box (BENCH/BASELINE.md)
@@ -203,6 +208,17 @@ def _run_headline(pts) -> tuple[dict, dict]:
     t_compress = time.perf_counter() - t0
     bpp = float(bpp_rows[0]["bytes_per_point"]) if bpp_rows else None
 
+    # decode path (r3 verdict #2: vectorized block decoder) — decompress
+    # the cached 1m chunk store back to points
+    n_decoded = 0
+
+    def _decode():
+        nonlocal n_decoded
+        n_decoded = decompress_to_points(comp).count()
+
+    t_decompress, _ = _best_of(1, _decode)
+    timings["pipeline_decompress"] = round(t_decompress, 3)
+
     timings["pipeline_correct"] = round(t_correct, 3)
     timings["pipeline_rollup"] = round(t_rollup, 3)
     timings["pipeline_compress"] = round(t_compress, 3)
@@ -217,6 +233,7 @@ def _run_headline(pts) -> tuple[dict, dict]:
         "compressed_bytes_per_point_1m": round(bpp, 3) if bpp else None,
         "fused_rolled_points_1m": n_fused,
         "fused_lineage_rows_1m": n_fused_lineage,
+        "decoded_points_1m": n_decoded,
     }
     return timings, counts
 
@@ -310,6 +327,13 @@ def main() -> None:
         ),
         "fused_lineage_rows_1m": counts["fused_lineage_rows_1m"],
         "fused_lineage_sec": timings["pipeline_fused_lineage_1m"],
+        "decoded_points_1m": counts["decoded_points_1m"],
+        "decode_points_per_sec": round(
+            counts["decoded_points_1m"] / timings["pipeline_decompress"], 1
+        ),
+        "encode_points_per_sec": round(
+            counts["decoded_points_1m"] / timings["pipeline_compress"], 1
+        ),
         "cpus": cpus,
         "warmup": "input cached + both kernel shapes pre-run",
         "headline_raw_sec": headline_raw,
