@@ -43,32 +43,23 @@ AUDIT = {
         ("median agg then broadcast join back", r"BroadcastHashJoin"),
         ("single window sort per series", r"Window"),
     ],
-    "q_rollup_1m": [
-        ("pure hash aggregate, no window", r"HashAggregate"),
+    "q_rollup_tiers": [
+        ("pure hash aggregates, no window (all 3 tiers)", r"HashAggregate"),
         ("events scan prunes to 3 cols", r"ReadSchema: struct<ts:timestamp[^\n]*user_id|ReadSchema: struct<user_id"),
+        ("union of tiers, no join", r"^(?!.*(SortMergeJoin|CartesianProduct))"),
     ],
     "q_interpolate_nulls": [
         ("native window functions (no Python)", r"RunningWindowFunction|Window"),
+        ("each window expression evaluated ONCE (4, not 10 — r4 fix)", "WIN_EXPRS_4"),
         ("whole-stage codegen", "CODEGEN"),
     ],
     "q_correct_series": [
         ("exactly one exchange before the kernel", None),  # counted below
         ("Arrow-batched Python (mapInPandas)", r"MapInPandas|ArrowEvalPython|PythonMapInArrow"),
     ],
-    "q_simhash_buckets": [
-        # r3 design: tokens hashed JVM-side, ONE vectorized Arrow vote fold
-        # (measured faster than the zero-Python HOF expression — see
-        # operators/dedup.py); the audit asserts exactly that shape.
-        ("JVM token hashing feeds ONE Arrow vote fold", r"ArrowEvalPython|MapInPandas"),
-        ("single hash aggregate over signatures", r"HashAggregate"),
-    ],
     "q_fingerprint_dups": [
         ("NO Python in plan (JVM regexp_replace + xxhash64)", "NO_PYTHON"),
         ("whole-stage codegen", "CODEGEN"),
-    ],
-    "q_minhash_pairs": [
-        ("NO Python in plan (xxhash64 shingle mins)", "NO_PYTHON"),
-        ("band-bucket equi-join (no cartesian)", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
     ],
     "q_outlier_flags": [
         ("NO Python in plan (native W3-W5 detector)", "NO_PYTHON"),
@@ -91,12 +82,26 @@ AUDIT = {
         ("hash aggregate tier + scalar-subquery cutoff filter", r"HashAggregate"),
     ],
     "q_downsample_m4": [
-        ("NO Python in plan (four ranks, one window clustering)", "NO_PYTHON"),
-        ("single exchange feeds all four row_number ranks", r"Window"),
+        # r4: aggregate shape — struct min/max partial aggs, no window sort
+        ("NO Python in plan (struct min/max aggregate M4)", "NO_PYTHON"),
+        ("pure hash aggregate — no Window, no per-bucket sort", r"HashAggregate"),
+        ("map-side partial aggregation before the exchange", r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate"),
+        ("role explode via Generate", r"Generate|Expand"),
     ],
     "q_asof_join": [
         ("NO Python in plan (union + running-last window)", "NO_PYTHON"),
         ("no join operator at all - window shape", r"^(?!.*(SortMergeJoin|CartesianProduct))"),
+    ],
+    "q_asof_forward": [
+        ("NO Python in plan (union + running-first window)", "NO_PYTHON"),
+        ("no join operator at all - window shape", r"^(?!.*(SortMergeJoin|CartesianProduct))"),
+    ],
+    "q_compress_roundtrip": [
+        ("Arrow-batched codec both ways (mapInPandas x2)", r"MapInPandas"),
+        # 1m agg + compress repartition + final orderBy = 3; the DECODE
+        # side adds none of its own (chunks are independent → mapInPandas
+        # directly over the compressed store, r4)
+        ("decode adds NO shuffle of its own (3 total: agg+repartition+sort)", "EXCHANGES_3"),
     ],
 }
 
@@ -128,10 +133,16 @@ def main() -> None:
         out.append(f"## {name}")
         out.append("")
         for label, pat in checks:
-            if pat is None:
+            if pat is None or (isinstance(pat, str) and pat.startswith("EXCHANGES_")):
                 n_ex = len(re.findall(r"^\s*[+\-:* ]*Exchange\b", plan, re.M))
-                ok = n_ex == 1
+                want = 1 if pat is None else int(pat.rsplit("_", 1)[1])
+                ok = n_ex == want
                 out.append(f"- {'✓' if ok else '✗'} {label} (Exchange count = {n_ex})")
+            elif pat == "WIN_EXPRS_4":
+                win = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+                n_we = (win[0].count("last(") + win[0].count("first(")) if win else -1
+                ok = n_we == 4
+                out.append(f"- {'✓' if ok else '✗'} {label} (window exprs = {n_we})")
             elif pat == "NO_PYTHON":
                 ok = re.search(PYTHON_NODES, plan) is None
                 out.append(f"- {'✓' if ok else '✗'} {label}")
