@@ -208,11 +208,31 @@ def _cusum_resets(x: np.ndarray, threshold: float) -> list[int]:
     cum = np.empty(cap + 1)
     ab = np.empty(cap + 1)
     cr = np.empty(cap + 1, dtype=bool)
+    xl = x.tolist()  # scalar fast path reads python floats (no per-item boxing)
     while i < n:
         j = i + block
         if j > n:
             j = n
         m = j - i
+        if m <= 32:
+            # small-block fast path: the SCALAR reference recurrence itself
+            # (~1µs for 16 elements vs ~5µs of numpy call overhead below);
+            # dense-trigger series spend most iterations here (r4 — the
+            # dispatch measured ~2.5× on this function for the events data)
+            k = i
+            while k < j:
+                carry += xl[k]
+                if carry > threshold or carry < -threshold:
+                    out.append(k)
+                    carry = 0.0
+                    i = k + 1
+                    block = 16
+                    break
+                k += 1
+            else:
+                i = j
+                block = min(block << 1, 65536)
+            continue
         b = buf[: m + 1]
         b[0] = carry
         b[1:] = x[i:j]

@@ -90,3 +90,31 @@ def test_oracle_matches_reference_on_adversarial_series(reference_processor):
         assert np.array_equal(ref["Value2"].to_numpy(), ours["value"].to_numpy(), equal_nan=True)
 
     _case()
+
+
+@pytest.mark.parametrize("gap_method", ["linear", "nearest", "cubic", "quadratic"])
+def test_gap_method_passthrough_matches_reference(reference_processor, gap_method):
+    """The reference forwards ``method`` verbatim to pandas.interpolate
+    (processor.py:298-300: linear/time/spline/polynomial/akima surface);
+    our kernel does the same (oracle/correction.py). Assert bit-exact
+    agreement for the spline-family methods too (scipy-gated where pandas
+    requires it)."""
+    if gap_method in ("cubic", "quadratic", "nearest"):
+        pytest.importorskip("scipy")
+    from series_correction_project_updated_spark.oracle import correction as oracle
+
+    rng = np.random.default_rng(17)
+    n = 120
+    t = np.cumsum(rng.choice([5.0, 5.0, 5.0, 60.0], size=n))  # gaps vs 5s cadence
+    v = np.cumsum(rng.normal(0, 1, n)).round(3)
+    df = pd.DataFrame({"t": t, "value": v})
+    cfg = {"time_col": "Time (Seconds)", "value_col": "Value2", "gap_method": gap_method}
+    ref = reference_processor.process_data(
+        df.rename(columns={"t": "Time (Seconds)", "value": "Value2"}), config=cfg
+    )
+    ours = oracle.process_series(df, "t", "value", {"gap_method": gap_method})
+    assert len(ref) == len(ours)
+    np.testing.assert_array_equal(ref["Time (Seconds)"].to_numpy(), ours["t"].to_numpy())
+    assert np.array_equal(
+        ref["Value2"].to_numpy(), ours["value"].to_numpy(), equal_nan=True
+    )
