@@ -593,7 +593,8 @@ def q_stream_rollup_1m(spark, sf_dir):
     stream drains. Complete mode emits every window including the ones
     the watermark never closed, so on a finite input the result equals
     the batch tier exactly — the oracle is the plain DuckDB 1m rollup
-    (cnt/sum/min/max; first/last are not streaming aggregates)."""
+    with the FULL aggregate set (cnt/sum/min/max/first/last — min_by and
+    max_by stream too, r4)."""
     import tempfile
     import uuid
 
@@ -636,6 +637,8 @@ def q_stream_rollup_1m(spark, sf_dir):
             F.round("vsum", 4).alias("vsum"),
             "vmin",
             "vmax",
+            "vfirst",
+            "vlast",
         )
         .orderBy("user_id", "bucket_start")
     )
@@ -645,7 +648,8 @@ SQL_STREAM_ROLLUP_1M = """
 WITH pts AS (SELECT user_id, epoch_ms(ts)/1000.0 AS t, value FROM events)
 SELECT user_id, CAST(floor(t/60)*60 AS BIGINT) AS bucket_start,
        count(value) AS cnt, round(sum(value), 4) AS vsum,
-       min(value) AS vmin, max(value) AS vmax
+       min(value) AS vmin, max(value) AS vmax,
+       arg_min(value, t) AS vfirst, arg_max(value, t) AS vlast
 FROM pts GROUP BY user_id, bucket_start
 ORDER BY user_id, bucket_start
 """

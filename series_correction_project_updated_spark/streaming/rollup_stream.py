@@ -6,9 +6,10 @@ watermarked window agg → writeStream. Late pages within the watermark update
 their bucket; later ones are handled by the batch re-rollup path
 (plans/pipeline.py re-runs affected partitions idempotently).
 
-``first/last`` per bucket aren't available as streaming aggregates, so the
-streaming tier carries cnt/sum/min/max only; the batch cascade backfills the
-full aggregate set.
+The streaming tier carries the FULL batch aggregate set — ``min_by`` /
+``max_by`` are supported inside streaming aggregations (verified on this
+Spark), so ``vfirst``/``vlast`` stream exactly like the batch tier computes
+them (r4; earlier rounds carried cnt/sum/min/max only).
 """
 
 from __future__ import annotations
@@ -39,6 +40,8 @@ def streaming_rollup(
             F.sum(value_col).alias("vsum"),
             F.min(value_col).alias("vmin"),
             F.max(value_col).alias("vmax"),
+            F.min_by(value_col, ts_col).alias("vfirst"),
+            F.max_by(value_col, ts_col).alias("vlast"),
         )
         .select(
             "series_key",
@@ -47,6 +50,8 @@ def streaming_rollup(
             "vsum",
             "vmin",
             "vmax",
+            "vfirst",
+            "vlast",
         )
     )
 
