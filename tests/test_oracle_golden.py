@@ -151,3 +151,40 @@ def test_process_series_end_to_end():
     assert len(out) == 16
     assert out["t"].is_monotonic_increasing
     assert out["v"].notna().all()
+
+
+def test_correct_gaps_fast_path_equals_pandas_path():
+    """The numpy gap-fill fast path (2-col float64 frame, linear/time
+    method) must be bit-identical to the general pandas path — adding a
+    third column forces the latter on the same data. Covers duplicate
+    timestamps (sort ties) and NaN values (interpolation + edge fill)."""
+    import numpy as np
+    import pandas as pd
+
+    from series_correction_project_updated_spark.oracle import correction as oracle
+
+    rng = np.random.default_rng(9)
+    checked = 0
+    for trial in range(120):
+        n = int(rng.integers(3, 200))
+        t = np.sort(np.cumsum(rng.choice([5.0, 5.0, 5.0, 40.0, 125.0], size=n)))
+        if trial % 7 == 0:
+            t[int(rng.integers(1, n))] = t[int(rng.integers(1, n))]
+            t = np.sort(t)
+        v = np.cumsum(rng.normal(0, 1, n)).round(3)
+        v[rng.random(n) < 0.08] = np.nan
+        gaps = oracle.detect_gaps(t, 1.5)
+        if not gaps:
+            continue
+        fast = oracle.correct_gaps(pd.DataFrame({"t": t, "value": v}), gaps, "t", ["value"])
+        slow = oracle.correct_gaps(
+            pd.DataFrame({"t": t, "value": v, "extra": np.arange(n, dtype=np.int64)}),
+            gaps, "t", ["value"],
+        )
+        assert len(fast) == len(slow)
+        assert np.array_equal(fast["t"].to_numpy(), slow["t"].to_numpy())
+        assert np.array_equal(
+            fast["value"].to_numpy(), slow["value"].to_numpy(), equal_nan=True
+        )
+        checked += 1
+    assert checked > 50
