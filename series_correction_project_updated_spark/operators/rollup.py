@@ -178,3 +178,104 @@ def downsample_m4_agg(
         )
         .distinct()
     )
+
+
+def _lttb_indices(t, v, n_out):
+    """Single-series LTTB (Steinarsson, "Downsampling Time Series for
+    Visual Representation", 2013 — public): keep first/last; for each of
+    the n_out−2 interior buckets pick the point forming the LARGEST
+    triangle with the previously kept point and the next bucket's average.
+    Sequential across buckets (each pick depends on the previous), but all
+    candidate areas within a bucket are computed in one vectorized pass.
+    NaN values never win a comparison (area NaN), so they are only kept if
+    a bucket is entirely NaN (argmax falls back to index 0)."""
+    import numpy as np
+
+    n = len(t)
+    if n_out >= n or n_out < 3:
+        return np.arange(n)
+    # n_out-2 equal interior buckets over points [1, n-1)
+    edges = (np.arange(n_out - 1) * (n - 2) / (n_out - 2) + 1).astype(np.int64)
+    edges[-1] = n - 1
+    out = np.empty(n_out, dtype=np.int64)
+    out[0] = 0
+    out[-1] = n - 1
+    a = 0
+    for i in range(n_out - 2):
+        lo, hi = edges[i], edges[i + 1]
+        nlo, nhi = (hi, n - 1) if i == n_out - 3 else (edges[i + 1], edges[i + 2])
+        # next bucket's average point (the algorithm's fixed third vertex);
+        # the final interior bucket averages with the last point
+        if nhi > nlo:
+            avg_t = t[nlo:nhi].mean()
+            avg_v = v[nlo:nhi].mean()
+        else:
+            avg_t, avg_v = t[n - 1], v[n - 1]
+        ts = t[lo:hi]
+        vs = v[lo:hi]
+        area = np.abs(
+            (t[a] - avg_t) * (vs - v[a]) - (t[a] - ts) * (avg_v - v[a])
+        )
+        k = lo + int(np.nanargmax(area)) if not np.all(np.isnan(area)) else lo
+        out[i + 1] = k
+        a = k
+    return out
+
+
+def lttb_downsample(
+    points: DataFrame,
+    n_out: int,
+    key_col: str = "series_key",
+    time_col: str = "t",
+    value_col: str = "value",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsample to ``n_out`` points per
+    series — the perceptual line-chart reduction that complements M4 (M4
+    is error-free for min/max/first/last rendering; LTTB preserves visual
+    SHAPE at a fixed point budget). Sequential per series → same execution
+    shape as the correction kernel: one explicit hash repartition on the
+    key, ``mapInPandas`` streaming whole partitions, numpy per series
+    (vectorized candidate areas per bucket). Series shorter than ``n_out``
+    pass through unchanged.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    if num_partitions is None:
+        num_partitions = points.sparkSession.sparkContext.defaultParallelism * 2
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, points.schema[key_col].dataType),
+            T.StructField(time_col, T.DoubleType()),
+            T.StructField(value_col, T.DoubleType()),
+        ]
+    )
+    cols = [key_col, time_col, value_col]
+
+    def _run(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values([key_col, time_col])
+        keys_l, t_l, v_l = [], [], []
+        for key, grp in pdf.groupby(key_col, sort=False):
+            t = grp[time_col].to_numpy(dtype=np.float64)
+            v = grp[value_col].to_numpy(dtype=np.float64)
+            idx = _lttb_indices(t, v, n_out)
+            keys_l.append(np.repeat(key, len(idx)))
+            t_l.append(t[idx])
+            v_l.append(v[idx])
+        yield pd.DataFrame(
+            {
+                key_col: np.concatenate(keys_l),
+                time_col: np.concatenate(t_l),
+                value_col: np.concatenate(v_l),
+            }
+        )[cols]
+
+    return points.select(*cols).repartition(num_partitions, key_col).mapInPandas(
+        _run, schema=out_schema
+    )

@@ -818,3 +818,74 @@ def test_downsample_m4_agg_equals_window_shape(spark):
     a = downsample_m4_agg(pts, 1000.0)
     assert w.exceptAll(a).count() == 0 and a.exceptAll(w).count() == 0
     assert w.count() > 0
+
+
+def _lttb_naive(t, v, n_out):
+    """Straightforward textbook LTTB (independent of the operator's
+    vectorized implementation) for cross-checking."""
+    n = len(t)
+    if n_out >= n or n_out < 3:
+        return list(range(n))
+    edges = [int(i * (n - 2) / (n_out - 2)) + 1 for i in range(n_out - 1)]
+    edges[-1] = n - 1
+    out = [0]
+    a = 0
+    for i in range(n_out - 2):
+        lo, hi = edges[i], edges[i + 1]
+        if i == n_out - 3:
+            nlo, nhi = hi, n - 1
+        else:
+            nlo, nhi = edges[i + 1], edges[i + 2]
+        if nhi > nlo:
+            avg_t = sum(t[nlo:nhi]) / (nhi - nlo)
+            avg_v = sum(v[nlo:nhi]) / (nhi - nlo)
+        else:
+            avg_t, avg_v = t[n - 1], v[n - 1]
+        best, best_area = lo, -1.0
+        for k in range(lo, hi):
+            area = abs((t[a] - avg_t) * (v[k] - v[a]) - (t[a] - t[k]) * (avg_v - v[a]))
+            if area > best_area:
+                best, best_area = k, area
+        out.append(best)
+        a = best
+    out.append(n - 1)
+    return out
+
+
+def test_lttb_downsample_matches_naive_and_preserves_shape(spark):
+    from series_correction_project_updated_spark.operators.rollup import (
+        _lttb_indices,
+        lttb_downsample,
+    )
+
+    rng = np.random.default_rng(23)
+    # kernel vs naive reference on random series
+    for _ in range(40):
+        n = int(rng.integers(3, 400))
+        n_out = int(rng.integers(3, 60))
+        t = np.sort(rng.uniform(0, 1000, n))
+        v = rng.normal(0, 1, n)
+        assert _lttb_indices(t, v, n_out).tolist() == _lttb_naive(
+            t.tolist(), v.tolist(), n_out
+        )
+
+    # Spark operator end-to-end: anchors, budget, time order, spike kept
+    rows = []
+    for key in ("a", "b"):
+        t = np.arange(500, dtype=np.float64) * 10
+        v = np.sin(t / 300.0)
+        v[237] = 25.0  # a visually dominant spike LTTB must keep
+        rows += [(key, float(tt), float(vv)) for tt, vv in zip(t, v)]
+    pts = spark.createDataFrame(pd.DataFrame(rows, columns=["series_key", "t", "value"]))
+    out = lttb_downsample(pts, 50).toPandas()
+    for key, grp in out.groupby("series_key"):
+        g = grp.sort_values("t")
+        assert len(g) == 50
+        assert g["t"].iloc[0] == 0.0 and g["t"].iloc[-1] == 4990.0
+        assert g["t"].is_monotonic_increasing
+        assert (g["value"] == 25.0).any(), key
+    # short series pass through whole
+    short = spark.createDataFrame(
+        pd.DataFrame({"series_key": ["s"] * 5, "t": np.arange(5.0), "value": np.ones(5)})
+    )
+    assert lttb_downsample(short, 50).count() == 5
