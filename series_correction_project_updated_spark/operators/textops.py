@@ -94,3 +94,44 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     no Python anywhere in the path. Replaces a per-BYTE Python FNV loop that
     was the slowest possible shape at 100 TB (VERDICT r01 'What's wrong' #3)."""
     return docs.withColumn("fingerprint", F.xxhash64(normalized_text(text_col)))
+
+
+#: PII patterns applied IN ORDER (emails before bare domains would matter if
+#: we had a domain rule; ordering is part of the contract). Each is a plain
+#: Java regex usable by ``regexp_replace`` — JVM-side, codegen-friendly.
+_PII_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:(?:25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])\.){3}(?:25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])\b", "<IP>"),
+    # 13-16 digit card-like runs, optionally -/space separated; starts and
+    # ends on a digit so surrounding whitespace is preserved
+    ("card", r"\b\d(?:[ -]?\d){12,15}\b", "<CARD>"),
+    # international-ish phone numbers: optional +CC, separators, 7+ digits
+    ("phone", r"(?<![\w.])\+?\d{1,3}[ .-]?\(?\d{2,4}\)?(?:[ .-]?\d{2,4}){2,4}(?![\w])", "<PHONE>"),
+]
+
+
+def redact_pii(
+    docs: DataFrame, text_col: str = "text", out_col: str = "text_redacted"
+) -> DataFrame:
+    """Replace common PII shapes (emails, IPv4 addresses, card-like digit
+    runs, phone numbers) with typed placeholder tokens — the standard
+    scrub step of a web-text training-data pipeline.
+
+    Entirely JVM-side: one ``regexp_replace`` per rule chained in a fixed
+    order, so the whole operator stays inside whole-stage codegen with no
+    Python and no extra stage at any scale. Also emits ``pii_hits``, the
+    count of redactions (length-diff-free: counts placeholder occurrences),
+    so downstream filters can drop PII-heavy documents without rescanning.
+    Pattern-based redaction is best-effort by nature — the rules catch the
+    common shapes, not adversarial encodings.
+    """
+    col = F.col(text_col)
+    for _name, pat, repl in _PII_RULES:
+        col = F.regexp_replace(col, pat, repl)
+    # placeholder-occurrence count (a document that already contained a
+    # literal placeholder token would overcount — acceptable for a
+    # filtering signal)
+    hits = F.lit(0)
+    for _name, _pat, repl in _PII_RULES:
+        hits = hits + F.size(F.split(col, F.lit(repl), -1)) - 1
+    return docs.withColumn(out_col, col).withColumn("pii_hits", hits)

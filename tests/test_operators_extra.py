@@ -889,3 +889,31 @@ def test_lttb_downsample_matches_naive_and_preserves_shape(spark):
         pd.DataFrame({"series_key": ["s"] * 5, "t": np.arange(5.0), "value": np.ones(5)})
     )
     assert lttb_downsample(short, 50).count() == 5
+
+
+def test_redact_pii_rules_and_counts(spark):
+    """PII scrub (training-data pipeline step): emails / IPv4 / card-like
+    digit runs / phone numbers become typed placeholders, whitespace
+    around them survives, clean text is untouched, and pii_hits counts
+    redactions. Entirely JVM-side (no Python nodes in the plan)."""
+    from series_correction_project_updated_spark.operators.textops import redact_pii
+
+    rows = [
+        (0, "contact me at john.doe+x@example.co.uk or 192.168.1.77 thanks"),
+        (1, "card 4111 1111 1111 1111 exp 12/26, call +1 (415) 555-0199"),
+        (2, "clean text with no private data at all"),
+        (3, "two mails: a@b.io c@d.org and ip 10.0.0.1"),
+        (4, "version 1.2.3.4.5 is not an ip but 8.8.8.8 is"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert out[0].text_redacted == "contact me at <EMAIL> or <IP> thanks"
+    assert out[0].pii_hits == 2
+    assert "<CARD> exp" in out[1].text_redacted and "<PHONE>" in out[1].text_redacted
+    assert out[2].text_redacted == rows[2][1] and out[2].pii_hits == 0
+    assert out[3].text_redacted.count("<EMAIL>") == 2 and "<IP>" in out[3].text_redacted
+    assert out[3].pii_hits == 3
+    assert "<IP> is" in out[4].text_redacted
+    # no Python nodes: pure regexp_replace chain
+    plan = redact_pii(df)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "EvalPython" not in plan
