@@ -583,8 +583,15 @@ def _decode_values_vec(data: bytes, n: int) -> np.ndarray:
 
 
 def encode_chunk(ts: np.ndarray, values: np.ndarray) -> bytes:
-    """(int64 seconds, float64 values) → self-describing binary payload."""
-    assert len(ts) == len(values)
+    """(int64 seconds, float64 values) → self-describing binary payload.
+
+    Validation raises (never ``assert`` — stripped under ``python -O``,
+    and executors may run optimized). n=0 encodes to a bare header that
+    ``decode_chunk`` round-trips to empty arrays."""
+    if len(ts) != len(values):
+        raise ValueError(f"length mismatch: {len(ts)} timestamps vs {len(values)} values")
+    if len(ts) == 0:
+        return MAGIC + struct.pack("<IQ", 0, 0)
     t_codes, t_lens = _encode_timestamps_codes(np.asarray(ts))
     tbytes = _pack_codes(t_codes, t_lens)
     v_codes, v_lens = _encode_values_codes(np.asarray(values))
@@ -595,8 +602,11 @@ def encode_chunk(ts: np.ndarray, values: np.ndarray) -> bytes:
 
 def decode_chunk(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
     magic = payload[:4]
-    assert magic in (MAGIC, MAGIC_V1), "bad magic"
+    if magic not in (MAGIC, MAGIC_V1):
+        raise ValueError(f"not a Gorilla chunk (magic {magic!r})")
     n, tlen = struct.unpack("<IQ", payload[4:16])
+    if n == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
     tseg, vseg = payload[16 : 16 + tlen], payload[16 + tlen :]
     if magic == MAGIC_V1:  # legacy stream: scalar decoder understands it
         return (
@@ -610,8 +620,11 @@ def decode_chunk_scalar(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
     """Field-at-a-time reference decoder (any magic) — the property-test
     cross-check for the vectorized hot path."""
     magic = payload[:4]
-    assert magic in (MAGIC, MAGIC_V1), "bad magic"
+    if magic not in (MAGIC, MAGIC_V1):
+        raise ValueError(f"not a Gorilla chunk (magic {magic!r})")
     n, tlen = struct.unpack("<IQ", payload[4:16])
+    if n == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
     ts = _decode_timestamps_scalar(
         _BitReader(payload[16 : 16 + tlen]), n, legacy_v1=magic == MAGIC_V1
     )

@@ -78,6 +78,17 @@ def asof_join(
     # currentRow-FOLLOWING fill exclude them (exclusive forward) — and
     # vice versa. One tag column serves backward, one forward.
     b_side, f_side = (0, 1) if allow_exact_matches else (1, 0)
+    # The matched right row travels as ONE struct, filled atomically by a
+    # single last/first(ignorenulls): per-COLUMN fills would conflate a
+    # genuinely-NULL payload value with the left rows' placeholder nulls
+    # and stitch columns from DIFFERENT right rows (r4 self-review #1 —
+    # merge_asof carries the whole matched row or nothing).
+    import pyspark.sql.types as T
+
+    row_type = T.StructType(
+        [T.StructField("t", T.DoubleType())]
+        + [T.StructField(c, right.schema[c].dataType) for c in carry]
+    )
     l_tag = left.select(
         F.col(key_col),
         F.col(time_col),
@@ -85,8 +96,7 @@ def asof_join(
         F.lit(1 - b_side).alias("_bside"),
         F.lit(1 - f_side).alias("_fside"),
         *[F.col(c) for c in left_extra],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in carry],
-        F.lit(None).cast("double").alias("_r_t"),
+        F.lit(None).cast(row_type).alias("_r_row"),
     )
     r_tag = right.select(
         F.col(key_col),
@@ -95,8 +105,10 @@ def asof_join(
         F.lit(b_side).alias("_bside"),
         F.lit(f_side).alias("_fside"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_extra],
-        *[F.col(c).alias(f"_r_{c}") for c in carry],
-        F.col(time_col).cast("double").alias("_r_t"),
+        F.struct(
+            F.col(time_col).cast("double").alias("t"),
+            *[F.col(c).alias(c) for c in carry],
+        ).alias("_r_row"),
     )
     unioned = l_tag.unionByName(r_tag)
 
@@ -106,7 +118,7 @@ def asof_join(
     def _order(side_col: str, desc_tb: bool):
         cols = [F.col(time_col).asc(), F.col(side_col).asc()]
         if tiebreaker is not None:
-            tb = F.col(f"_r_{tiebreaker}")
+            tb = F.col("_r_row").getField(tiebreaker)
             cols.append(tb.desc_nulls_last() if desc_tb else tb.asc_nulls_first())
         return cols
 
@@ -117,18 +129,18 @@ def asof_join(
             .orderBy(*_order("_bside", desc_tb=False))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        fills += [F.last(f"_r_{c}", ignorenulls=True).over(wb).alias(f"_mb_{c}") for c in payload_cols]
-        fills.append(F.last("_r_t", ignorenulls=True).over(wb).alias("_mb_t"))
+        fills.append(F.last("_r_row", ignorenulls=True).over(wb).alias("_mb"))
     if direction in ("forward", "nearest"):
         wf = (
             Window.partitionBy(key_col)
             .orderBy(*_order("_fside", desc_tb=True))
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
-        fills += [F.first(f"_r_{c}", ignorenulls=True).over(wf).alias(f"_mf_{c}") for c in payload_cols]
-        fills.append(F.first("_r_t", ignorenulls=True).over(wf).alias("_mf_t"))
+        fills.append(F.first("_r_row", ignorenulls=True).over(wf).alias("_mf"))
 
     filled = unioned.select("*", *fills).where(F.col("_is_left") == 1)
+    mb_t = F.col("_mb").getField("t") if direction != "forward" else None
+    mf_t = F.col("_mf").getField("t") if direction != "backward" else None
 
     def _ok(mt):
         cond = mt.isNotNull()
@@ -137,24 +149,25 @@ def asof_join(
         return cond
 
     if direction == "backward":
-        pick_t = F.when(_ok(F.col("_mb_t")), F.col("_mb_t"))
-        picks = {c: F.when(_ok(F.col("_mb_t")), F.col(f"_mb_{c}")) for c in payload_cols}
+        pick_t = F.when(_ok(mb_t), mb_t)
+        picks = {c: F.when(_ok(mb_t), F.col("_mb").getField(c)) for c in payload_cols}
     elif direction == "forward":
-        pick_t = F.when(_ok(F.col("_mf_t")), F.col("_mf_t"))
-        picks = {c: F.when(_ok(F.col("_mf_t")), F.col(f"_mf_{c}")) for c in payload_cols}
+        pick_t = F.when(_ok(mf_t), mf_t)
+        picks = {c: F.when(_ok(mf_t), F.col("_mf").getField(c)) for c in payload_cols}
     else:  # nearest: closer side wins; equal distance or missing fwd → backward
-        b_ok, f_ok = _ok(F.col("_mb_t")), _ok(F.col("_mf_t"))
-        b_dist = F.abs(F.col(time_col) - F.col("_mb_t"))
-        f_dist = F.abs(F.col(time_col) - F.col("_mf_t"))
+        b_ok, f_ok = _ok(mb_t), _ok(mf_t)
+        b_dist = F.abs(F.col(time_col) - mb_t)
+        f_dist = F.abs(F.col(time_col) - mf_t)
         use_b = b_ok & (~f_ok | (b_dist <= f_dist))
         use_f = f_ok & ~use_b
 
         def _near(col_b, col_f):
             return F.when(use_b, col_b).when(use_f, col_f)
 
-        pick_t = _near(F.col("_mb_t"), F.col("_mf_t"))
+        pick_t = _near(mb_t, mf_t)
         picks = {
-            c: _near(F.col(f"_mb_{c}"), F.col(f"_mf_{c}")) for c in payload_cols
+            c: _near(F.col("_mb").getField(c), F.col("_mf").getField(c))
+            for c in payload_cols
         }
 
     return filled.select(

@@ -57,16 +57,23 @@ def apply_retention(
     keep_seconds: float | None,
     now_ts: float | None = None,
     time_col: str = "bucket_start",
+    span_seconds: float = 0.0,
 ) -> DataFrame:
     """Rows within the retention horizon. A pure time-column filter —
     partition-prunable, no shuffle, no action beyond the optional
-    max-time lookup in deterministic mode. ``time_col='chunk_start'``
-    applies the same policy to the COMPRESSED store (whole chunks expire
-    together — the chunk span just quantizes the horizon)."""
+    max-time lookup in deterministic mode.
+
+    ``time_col='chunk_start'`` applies the same policy to the COMPRESSED
+    store; pass ``span_seconds = tier_sec * chunk_buckets`` there so a
+    chunk is only dropped once its ENTIRE span (start + span) has left the
+    horizon — filtering raw chunk_start against the cutoff would delete
+    up to a chunk span of in-horizon points (r4 self-review #3; expiry
+    must stay conservative like ``expire_partition_dirs``). Readers prune
+    the straddling chunk's dead points logically after decode."""
     if keep_seconds is None:
         return tier_df
     cutoff = retention_cutoff(tier_df, keep_seconds, now_ts, time_col)
-    return tier_df.where(F.col(time_col) >= cutoff)
+    return tier_df.where(F.col(time_col) >= cutoff - float(span_seconds))
 
 
 def retention_cascade(
@@ -74,8 +81,22 @@ def retention_cascade(
     policy: dict[str, float | None] | None = None,
     now_ts: float | None = None,
 ) -> dict[str, DataFrame]:
-    """Apply the per-tier policy to every tier DataFrame."""
+    """Apply the per-tier policy to every tier DataFrame.
+
+    In deterministic mode (``now_ts=None``) ONE shared "now" is derived —
+    the max bucket_start across all tiers — rather than each tier's own
+    max: per-tier nows disagree by up to the coarsest bucket width (a 1d
+    tier's max is day-aligned), which would retain a window of data in one
+    tier while expiring it in another for the same policy instant (r4
+    self-review #5)."""
     policy = DEFAULT_POLICY if policy is None else policy
+    if now_ts is None:
+        maxes = [
+            df.agg(F.max("bucket_start").alias("m")).collect()[0]["m"]
+            for df in tiers.values()
+        ]
+        maxes = [m for m in maxes if m is not None]
+        now_ts = float(max(maxes)) if maxes else 0.0
     return {
         name: apply_retention(df, policy.get(name), now_ts) for name, df in tiers.items()
     }

@@ -6,9 +6,17 @@ near-free when CASCADED (1m → 1h → 1d), since each cascade step reduces
 input ~60× and reuses the (series_key) clustering.
 
 Aggregate set per bucket: cnt / sum / min / max / first / last, with
-first/last defined by time order via ``min_by``/``max_by`` (JVM-side,
-no window sort needed — crucial at 10^12 rows where a per-series global
-sort just to pick endpoints would dominate the job).
+first/last defined by time order via lexicographic struct min/max
+(JVM-side, no window sort needed — crucial at 10^12 rows where a
+per-series global sort just to pick endpoints would dominate the job).
+The struct key makes the pick DETERMINISTIC under duplicate timestamps
+(r4 self-review: ``min_by(value, t)`` ties were partition-order-dependent,
+which broke the cascade's bit-equality contract and hash stability):
+ties at the same t resolve to the smallest value for first, largest for
+last — the same total orders the M4 aggregate uses. Null values would
+sort unlike ``min_by``'s null-skipping (struct comparison orders them);
+the series tables this engine rolls up carry non-null values (gap-filled
+upstream) — use explicit filters before rollup otherwise.
 """
 
 from __future__ import annotations
@@ -29,26 +37,33 @@ def rollup(
     """Aggregate raw points into one retention tier."""
     sec = TIER_SECONDS[tier]
     bucket = (F.floor(F.col(time_col) / sec) * sec).cast("long").alias("bucket_start")
+    tv = F.struct(F.col(time_col).alias("t"), F.col(value_col).alias("v"))
     return points.groupBy(F.col(key_col).alias("series_key"), bucket).agg(
         F.count(value_col).alias("cnt"),
         F.sum(value_col).alias("vsum"),
         F.min(value_col).alias("vmin"),
         F.max(value_col).alias("vmax"),
-        F.min_by(value_col, time_col).alias("vfirst"),
-        F.max_by(value_col, time_col).alias("vlast"),
+        F.min(tv).getField("v").alias("vfirst"),
+        F.max(tv).getField("v").alias("vlast"),
     )
 
 
 def cascade(lower: DataFrame, to_tier: str) -> DataFrame:
     """Roll a finer tier up into a coarser one without touching raw data.
 
-    Exactness: cnt/sum/min/max compose associatively; first/last compose via
-    min_by/max_by on the finer bucket_start. Equals ``rollup(raw, to_tier)``
+    Exactness: cnt/sum/min/max compose associatively; first/last compose
+    via struct min/max keyed on the finer bucket_start (the child bucket
+    holding the coarse bucket's minimum t is unique, and within it the
+    child's pick already used rollup()'s (t, value) total order, so the
+    composition reproduces ``rollup(raw, to_tier)``'s pick exactly — also
+    under duplicate timestamps). Equals ``rollup(raw, to_tier)``
     bit-for-bit except vsum, where float addition order may differ at the
     last ulp (tests assert tight tolerance there, exactness elsewhere).
     """
     sec = TIER_SECONDS[to_tier]
     coarse = lower.withColumn("coarse_bucket", (F.floor(F.col("bucket_start") / sec) * sec).cast("long"))
+    bf = F.struct(F.col("bucket_start").alias("b"), F.col("vfirst").alias("v"))
+    bl = F.struct(F.col("bucket_start").alias("b"), F.col("vlast").alias("v"))
     return (
         coarse.groupBy("series_key", "coarse_bucket")
         .agg(
@@ -56,8 +71,11 @@ def cascade(lower: DataFrame, to_tier: str) -> DataFrame:
             F.sum("vsum").alias("vsum"),
             F.min("vmin").alias("vmin"),
             F.max("vmax").alias("vmax"),
-            F.min_by("vfirst", F.col("bucket_start")).alias("vfirst"),
-            F.max_by("vlast", F.col("bucket_start")).alias("vlast"),
+            # child bucket_starts are unique per series, so these struct
+            # picks are tie-free; the struct form keeps the pick aligned
+            # with rollup()'s total order
+            F.min(bf).getField("v").alias("vfirst"),
+            F.max(bl).getField("v").alias("vlast"),
         )
         .withColumnRenamed("coarse_bucket", "bucket_start")
     )
@@ -69,6 +87,16 @@ def rollup_all_tiers(points: DataFrame, **kw) -> dict[str, DataFrame]:
     r1h = cascade(r1m, "1h")
     r1d = cascade(r1h, "1d")
     return {"1m": r1m, "1h": r1h, "1d": r1d}
+
+
+def _m4_bucket(t, bucket_sec: float):
+    """Bucket label for the M4 shapes. Integral widths keep the long-typed
+    label (hash-stable, SQL-friendly); fractional widths — the common case
+    when ``bucket_sec = (t_max-t_min)/pixel_width`` — stay double, since a
+    long cast would collapse distinct buckets (floor(2.4)*0.5 and
+    floor(3.2)*0.5 both truncate to 1 — r4 self-review #2)."""
+    b = F.floor(t / bucket_sec) * bucket_sec
+    return b.cast("long") if float(bucket_sec).is_integer() else b
 
 
 def downsample_m4(
@@ -106,8 +134,7 @@ def downsample_m4(
     """
     from pyspark.sql import Window
 
-    bucket = (F.floor(F.col(time_col) / bucket_sec) * bucket_sec).cast("long")
-    pts = points.withColumn("bucket_start", bucket)
+    pts = points.withColumn("bucket_start", _m4_bucket(F.col(time_col), bucket_sec))
     w = Window.partitionBy(key_col, "bucket_start")
     ranked = (
         pts.withColumn(
@@ -155,7 +182,7 @@ def downsample_m4_agg(
     use the window shape for nullable inputs).
     """
     t, v = F.col(time_col), F.col(value_col)
-    bucket = (F.floor(t / bucket_sec) * bucket_sec).cast("long").alias("bucket_start")
+    bucket = _m4_bucket(t, bucket_sec).alias("bucket_start")
     agg = points.groupBy(F.col(key_col), bucket).agg(
         F.min(F.struct(t.alias("t"), v.alias("v"))).alias("r_first"),
         F.max(F.struct(t.alias("t"), v.alias("v"))).alias("r_last"),
@@ -237,11 +264,16 @@ def lttb_downsample(
     shape as the correction kernel: one explicit hash repartition on the
     key, ``mapInPandas`` streaming whole partitions, numpy per series
     (vectorized candidate areas per bucket). Series shorter than ``n_out``
-    pass through unchanged.
+    pass through unchanged; ``n_out < 3`` is rejected (the algorithm needs
+    both anchors plus at least one interior bucket — silently returning
+    everything would blow a caller's render budget, r4 self-review #9).
     """
     import numpy as np
     import pandas as pd
     import pyspark.sql.types as T
+
+    if n_out < 3:
+        raise ValueError(f"n_out must be >= 3 (got {n_out})")
 
     if num_partitions is None:
         num_partitions = points.sparkSession.sparkContext.defaultParallelism * 2

@@ -118,8 +118,13 @@ def modified_z_scores(
 ) -> tuple[np.ndarray, np.ndarray]:
     """(z_scores, valid_mask) — modified z-score vs centered rolling median/MAD.
 
-    Zero-MAD special cases (reference scripts/discontinuity_utils.py:192-203):
-    scaled MAD < 1e-6 ⇒ z = inf when |dev| > threshold·1e-6, else 0.
+    Zero-MAD special cases — the EXACT nested rule the reference applies
+    (scripts/discontinuity_utils.py:192-203, mirrored verbatim): scaled
+    MAD < 1e-6 ⇒ z = inf when |dev| > 1e-6 AND |dev| > threshold·1e-6,
+    else 0. For threshold ≥ 1 only the second comparison binds; for
+    threshold < 1 the outer |dev| > 1e-6 guard binds first — that is the
+    reference's behavior too, and parity (not the looser one-comparison
+    paraphrase an earlier docstring gave) is the contract.
     """
     rolling_median = _rolling_center_median(values, window_size)
     scaled_mad = _rolling_center_mad(values, rolling_median, window_size) * _MAD_SCALE
@@ -277,8 +282,12 @@ def _nanmedian_rows(win: np.ndarray) -> np.ndarray:
     rows = np.arange(len(win))
     lo = s[rows, np.maximum((m - 1) // 2, 0)]
     hi = s[rows, np.maximum(m // 2, 0)]
-    with np.errstate(invalid="ignore"):
-        out = (lo + hi) * 0.5
+    # odd counts return the middle ELEMENT directly, like np.nanmedian —
+    # (lo+lo)*0.5 would overflow to inf for |median| > ~8.99e307 (r4
+    # self-review #7); the even case's add-then-halve matches numpy's own
+    # mean-of-two (which overflows identically, so parity holds there too)
+    with np.errstate(invalid="ignore", over="ignore"):
+        out = np.where(m % 2 == 1, lo, (lo + hi) * 0.5)
     out[m == 0] = np.nan
     return out
 

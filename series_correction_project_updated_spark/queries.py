@@ -261,6 +261,7 @@ GROUP BY d.user_id ORDER BY user_id
 
 def _rollup_spark(spark, sf_dir, sec: int):
     pts = _event_points(spark, sf_dir)
+    tv = F.struct(F.col("t").alias("t"), F.col("value").alias("v"))
     return (
         pts.groupBy(
             "user_id", (F.floor(F.col("t") / sec) * sec).cast("long").alias("bucket_start")
@@ -270,8 +271,10 @@ def _rollup_spark(spark, sf_dir, sec: int):
             F.round(F.sum("value"), 4).alias("vsum"),
             F.min("value").alias("vmin"),
             F.max("value").alias("vmax"),
-            F.min_by("value", "t").alias("vfirst"),
-            F.max_by("value", "t").alias("vlast"),
+            # struct min/max = deterministic first/last under duplicate
+            # timestamps (same total order as operators/rollup.rollup)
+            F.min(tv).getField("v").alias("vfirst"),
+            F.max(tv).getField("v").alias("vlast"),
         )
     )
 
@@ -282,7 +285,8 @@ WITH pts AS (SELECT user_id, epoch_ms(ts)/1000.0 AS t, value FROM events)
 SELECT user_id, CAST(floor(t/{sec})*{sec} AS BIGINT) AS bucket_start,
        count(value) AS cnt, round(sum(value), 4) AS vsum,
        min(value) AS vmin, max(value) AS vmax,
-       arg_min(value, t) AS vfirst, arg_max(value, t) AS vlast
+       struct_extract(min({{'t': t, 'v': value}}), 'v') AS vfirst,
+       struct_extract(max({{'t': t, 'v': value}}), 'v') AS vlast
 FROM pts GROUP BY user_id, bucket_start
 """
 
@@ -554,7 +558,8 @@ def _rollup_tiers_sql() -> str:
        CAST(floor(t/{sec})*{sec} AS BIGINT) AS bucket_start,
        count(value) AS cnt, round(sum(value), 4) AS vsum,
        min(value) AS vmin, max(value) AS vmax,
-       arg_min(value, t) AS vfirst, arg_max(value, t) AS vlast
+       struct_extract(min({{'t': t, 'v': value}}), 'v') AS vfirst,
+       struct_extract(max({{'t': t, 'v': value}}), 'v') AS vlast
 FROM pts GROUP BY user_id, bucket_start"""
         for sec, name in _TIERS
     ]
@@ -649,7 +654,8 @@ WITH pts AS (SELECT user_id, epoch_ms(ts)/1000.0 AS t, value FROM events)
 SELECT user_id, CAST(floor(t/60)*60 AS BIGINT) AS bucket_start,
        count(value) AS cnt, round(sum(value), 4) AS vsum,
        min(value) AS vmin, max(value) AS vmax,
-       arg_min(value, t) AS vfirst, arg_max(value, t) AS vlast
+       struct_extract(min({'t': t, 'v': value}), 'v') AS vfirst,
+       struct_extract(max({'t': t, 'v': value}), 'v') AS vlast
 FROM pts GROUP BY user_id, bucket_start
 ORDER BY user_id, bucket_start
 """

@@ -40,8 +40,14 @@ def streaming_rollup(
             F.sum(value_col).alias("vsum"),
             F.min(value_col).alias("vmin"),
             F.max(value_col).alias("vmax"),
-            F.min_by(value_col, ts_col).alias("vfirst"),
-            F.max_by(value_col, ts_col).alias("vlast"),
+            # struct min/max — same deterministic duplicate-timestamp
+            # tie-break as the batch rollup (operators/rollup.rollup)
+            F.min(F.struct(F.col(ts_col).alias("t"), F.col(value_col).alias("v")))
+            .getField("v")
+            .alias("vfirst"),
+            F.max(F.struct(F.col(ts_col).alias("t"), F.col(value_col).alias("v")))
+            .getField("v")
+            .alias("vlast"),
         )
         .select(
             "series_key",

@@ -917,3 +917,44 @@ def test_redact_pii_rules_and_counts(spark):
     # no Python nodes: pure regexp_replace chain
     plan = redact_pii(df)._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in plan and "EvalPython" not in plan
+
+
+def test_asof_join_null_payloads_travel_with_their_row(spark):
+    """A matched right row with NULL payload values must yield NULLs —
+    per-column ignorenulls fills used to stitch older rows' values onto
+    the newer match (r4 self-review). Mirrors merge_asof exactly."""
+    from series_correction_project_updated_spark.operators.asof import asof_join
+
+    lpdf = pd.DataFrame({"series_key": ["a"], "t": [12.0], "value": [1.0]})
+    rpdf = pd.DataFrame(
+        {
+            "series_key": ["a", "a"],
+            "t": [5.0, 10.0],
+            "quote": [3.0, np.nan],
+            "flag": [77.0, np.nan],
+        }
+    )
+    for direction in ("backward", "nearest"):
+        got = asof_join(
+            spark.createDataFrame(lpdf),
+            spark.createDataFrame(rpdf),
+            payload_cols=["quote", "flag"],
+            tolerance=4.0,
+            direction=direction,
+        ).collect()[0]
+        assert got["t_asof"] == 10.0
+        assert got["quote_asof"] is None or np.isnan(got["quote_asof"])
+        assert got["flag_asof"] is None or np.isnan(got["flag_asof"])
+    # forward symmetric case: nearest right at t=13 has null payload
+    rpdf2 = pd.DataFrame(
+        {"series_key": ["a", "a"], "t": [13.0, 20.0], "quote": [np.nan, 9.0], "flag": [np.nan, 1.0]}
+    )
+    got = asof_join(
+        spark.createDataFrame(lpdf),
+        spark.createDataFrame(rpdf2),
+        payload_cols=["quote", "flag"],
+        tolerance=4.0,
+        direction="forward",
+    ).collect()[0]
+    assert got["t_asof"] == 13.0
+    assert got["quote_asof"] is None or np.isnan(got["quote_asof"])
