@@ -135,3 +135,28 @@ def test_retention_job_survives_total_expiry(tmp_path, spark):
     report = json.loads(out.stdout.strip().splitlines()[-1])
     assert report["rows_within_horizon"] == 0
     assert len(report["partitions_dropped"]) > 0
+
+
+def test_compressed_store_expiry_is_conservative(tiers):
+    """With span_seconds = chunk span, a chunk is kept until its ENTIRE
+    span leaves the horizon — dropping on raw chunk_start would delete up
+    to a chunk span of in-horizon points (r4 self-review)."""
+    from series_correction_project_updated_spark.operators.compress import (
+        compress_rollup,
+        decompress_to_points,
+    )
+
+    chunk_buckets = 64
+    span = 60.0 * chunk_buckets
+    comp = compress_rollup(tiers["1m"], "1m", chunk_buckets=chunk_buckets)
+    keep = 4 * 86400.0
+    cutoff = retention_cutoff(comp, keep, time_col="chunk_start")
+    kept = apply_retention(comp, keep, time_col="chunk_start", span_seconds=span)
+    naive = apply_retention(comp, keep, time_col="chunk_start")
+    assert kept.count() >= naive.count()
+    # every decoded point within the horizon must survive the chunk filter
+    pts_all = decompress_to_points(comp).where(F.col("bucket_start") >= cutoff)
+    pts_kept = decompress_to_points(kept).where(F.col("bucket_start") >= cutoff)
+    assert pts_kept.count() == pts_all.count()
+    # and the filter still drops something (policy is non-trivial here)
+    assert kept.count() < comp.count()
