@@ -397,15 +397,20 @@ def correct_gaps(
         result = pd.concat([result, gaps_df], ignore_index=True)
         result = result.sort_values(by=time_col).reset_index(drop=True)
     interp_method = "linear" if method == "time" else method
-    if interp_method == "cubic":
-        # pandas method='cubic' delegates to scipy's interp1d(kind='cubic')
-        # over the positional index; scipy is optional here, so the same
-        # not-a-knot spline runs through the numpy implementation instead
-        # (functions/spline.py — scipy-gated parity test pins equivalence).
+    if interp_method in ("cubic", "nearest", "akima", "pchip"):
+        # pandas delegates these methods to scipy over the positional
+        # index; scipy is optional here, so the same interpolants run
+        # through the numpy implementations instead (functions/spline.py
+        # for the not-a-knot cubic, functions/interp.py for the rest —
+        # scipy-gated parity tests pin equivalence).
+        from series_correction_project_updated_spark.functions.interp import interp_fill
         from series_correction_project_updated_spark.functions.spline import cubic_fill
 
         for col in value_cols:
-            result[col] = cubic_fill(result[col].to_numpy())
+            v = result[col].to_numpy()
+            result[col] = (
+                cubic_fill(v) if interp_method == "cubic" else interp_fill(v, interp_method)
+            )
         return result
     result[value_cols] = result[value_cols].interpolate(method=interp_method, limit_direction="both")
     return result

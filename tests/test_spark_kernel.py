@@ -198,11 +198,11 @@ def test_gap_method_unknown_raises_from_pandas(series_pdf):
 def test_gap_method_parameter_reaches_interpolation(spark, series_pdf):
     """The reference's interpolation-method knob (processor.py:299 — pandas
     interpolate 'linear'/'nearest'/'spline'/...) passes through config
-    end-to-end. scipy-backed methods parity-test only where scipy exists
-    (not in this container); the pass-through itself is proven scipy-free:
-    an unknown method must surface pandas' ValueError, so the knob
-    demonstrably reaches DataFrame.interpolate."""
-    pytest.importorskip("scipy")
+    end-to-end. 'nearest' (like 'cubic'/'akima'/'pchip') now runs through
+    the scipy-free numpy implementations (functions/interp.py), so this
+    runs everywhere; methods still delegated to pandas surface pandas'
+    ValueError for unknown names, proving the knob reaches the
+    interpolation dispatch either way."""
     cfg = {"gap_method": "nearest", "threshold": 1e18}
     sdf = spark.createDataFrame(series_pdf)
     got = (
