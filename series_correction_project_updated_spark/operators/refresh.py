@@ -75,6 +75,7 @@ def refresh_tier(
     key_col: str = "series_key",
     time_col: str = "t",
     value_col: str = "value",
+    prune_partition_col: str | None = None,
 ) -> DataFrame:
     """Splice recomputed invalidated buckets into a standing tier.
 
@@ -82,9 +83,33 @@ def refresh_tier(
     ``late`` is just the late batch, used only to derive the invalidation
     set. Equals ``rollup(points, tier)`` exactly (tested), at the cost of
     recomputing only the touched buckets.
+
+    ``prune_partition_col``: name of a UTC-day partition column in the
+    point store (written like ``retention.write_tier_partitioned``:
+    ``date_from_unix_date(floor(t / 86400))``). When set, the touched
+    DATES are collected driver-side (bounded — the invalidation set is a
+    trickle, and distinct dates ≤ distinct buckets) and applied as a
+    STATIC ``isin`` filter, so Catalyst prunes untouched day directories
+    at the scan instead of reading the whole store to evaluate the
+    semi-join. Sound because every tier bucket lies wholly inside one UTC
+    day (60, 3600 and 86400 all divide 86400), so a bucket's points share
+    its ``bucket_start`` date. Equivalence with the unpruned path is
+    tested against a partitioned parquet store.
     """
     sec = TIER_SECONDS[tier]
     inv = invalidated_buckets(late, tier, key_col, time_col)
+    if prune_partition_col is not None:
+        dates = [
+            r[0]
+            for r in inv.select(
+                F.date_from_unix_date(
+                    F.floor(F.col("bucket_start") / 86400).cast("int")
+                ).alias("d")
+            )
+            .distinct()
+            .collect()
+        ]
+        points = points.filter(F.col(prune_partition_col).isin(dates))
     affected = points.join(
         F.broadcast(inv),
         (points[key_col] == inv["series_key"])
@@ -96,6 +121,19 @@ def refresh_tier(
         F.broadcast(inv), ["series_key", "bucket_start"], "left_anti"
     )
     return kept.unionByName(recomputed)
+
+
+def write_points_partitioned(
+    points: DataFrame, path: str, time_col: str = "t"
+) -> None:
+    """Write a point store partitioned by UTC day — the layout
+    ``refresh_tier(prune_partition_col="bucket_date")`` prunes against.
+    Same pure-UTC-day arithmetic as ``retention.write_tier_partitioned``
+    (session-timezone independent)."""
+    points.withColumn(
+        "bucket_date",
+        F.date_from_unix_date(F.floor(F.col(time_col) / 86400).cast("int")),
+    ).write.mode("overwrite").partitionBy("bucket_date").parquet(path)
 
 
 def refresh_cascade(

@@ -95,6 +95,68 @@ def test_refresh_cascade_equals_full_cascade(spark, split):
     np.testing.assert_allclose(got_f, want_f, rtol=1e-12)
 
 
+def test_refresh_partition_pruned_equals_unpruned(spark, split, tmp_path):
+    """Against an on-disk UTC-day-partitioned point store, the
+    prune_partition_col path must (a) read strictly fewer partition
+    directories than the store holds and (b) produce the identical
+    refreshed tier."""
+    from series_correction_project_updated_spark.operators.refresh import (
+        write_points_partitioned,
+    )
+
+    _, _, allpts = split
+    # a late batch confined to each touched series' FIRST day — the
+    # realistic shape (late data clusters near one region, not uniformly
+    # over history) and the one where date pruning has teeth
+    t0 = allpts.agg(F.min("t")).collect()[0][0]
+    keys = [
+        r[0]
+        for r in allpts.select("series_key").distinct().orderBy("series_key").limit(3).collect()
+    ]
+    late = allpts.filter(
+        F.col("series_key").isin(keys) & (F.col("t") < t0 + 86400)
+    ).sample(0.3, seed=5)
+    store = str(tmp_path / "points")
+    write_points_partitioned(allpts, store)
+    disk = spark.read.parquet(store)
+
+    n_days_store = disk.select("bucket_date").distinct().count()
+    inv = invalidated_buckets(late, "1m")
+    n_days_touched = inv.select(
+        F.date_from_unix_date(F.floor(F.col("bucket_start") / 86400).cast("int"))
+    ).distinct().count()
+    assert n_days_touched < n_days_store  # pruning has something to prune
+
+    standing = rollup(allpts.exceptAll(late), "1m")
+    pruned = refresh_tier(
+        standing, disk, late, "1m", prune_partition_col="bucket_date"
+    )
+    want = rollup(allpts, "1m")
+    got_e, got_f = _collect(pruned)
+    want_e, want_f = _collect(want)
+    assert got_e == want_e
+    np.testing.assert_allclose(got_f, want_f, rtol=1e-12)
+
+    # the static isin filter actually prunes the file listing
+    dates = [
+        r[0]
+        for r in inv.select(
+            F.date_from_unix_date(
+                F.floor(F.col("bucket_start") / 86400).cast("int")
+            ).alias("d")
+        ).distinct().collect()
+    ]
+    # (inputFiles() ignores pushed filters — count the files actually read)
+    pruned_files = (
+        disk.filter(F.col("bucket_date").isin(dates))
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    all_files = disk.select(F.input_file_name()).distinct().count()
+    assert 0 < pruned_files < all_files
+
+
 def test_recorrect_series_equals_full_kernel(spark, split):
     base, late, allpts = split
     old = correct_series(base)
