@@ -108,6 +108,50 @@ AUDIT = {
 PYTHON_NODES = r"MapInPandas|ArrowEvalPython|BatchEvalPython|PythonMapInArrow|FlatMapGroupsInPandas"
 
 
+def _refresh_tier_pruned(spark):
+    """Non-registry extra: refresh_tier against a day-partitioned store
+    with prune_partition_col — the plan must show static partition
+    pruning on the point scan and broadcast semi/anti joins (never a
+    shuffle of the store on the invalidation key)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from series_correction_project_updated_spark.operators.refresh import (
+        refresh_tier,
+        write_points_partitioned,
+    )
+    from series_correction_project_updated_spark.operators.rollup import rollup
+    from series_correction_project_updated_spark.sources.synth import (
+        generate_pages,
+        pages_to_series,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="plans_refresh_")
+    pts = pages_to_series(generate_pages(spark, n_urls=6, samples_per_url=60, seed=4))
+    write_points_partitioned(pts, f"{tmp}/points")
+    disk = spark.read.parquet(f"{tmp}/points")
+    t0 = pts.agg(F.min("t")).collect()[0][0]
+    late = pts.filter(F.col("t") < t0 + 86400).sample(0.2, seed=2)
+    standing = rollup(pts, "1m")
+    return refresh_tier(standing, disk, late, "1m", prune_partition_col="bucket_date")
+
+
+# plans audited OUTSIDE the 50-entry driver registry (operator surface
+# with no registry slot); fn(spark) -> DataFrame
+EXTRA_AUDIT = {
+    "refresh_tier (pruned, non-registry)": (
+        _refresh_tier_pruned,
+        [
+            ("touched-day partition filter reaches the scan", r"PartitionFilters: \[[^\]]*bucket_date"),
+            ("invalidation semi-join broadcasts (store never shuffles on it)", r"BroadcastHashJoin[^\n]*LeftSemi"),
+            ("splice anti-join broadcasts (tier never shuffles on it)", r"BroadcastHashJoin[^\n]*LeftAnti"),
+            ("no sort-merge join / no cartesian anywhere", r"^(?!.*(SortMergeJoin|CartesianProduct))"),
+        ],
+    ),
+}
+
+
 def main() -> None:
     spark = get_spark(app_name="plans", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
@@ -119,16 +163,19 @@ def main() -> None:
         "shuffle for the kernel, whole-stage codegen on native paths.",
         "",
     ]
-    for name, checks in AUDIT.items():
-        fn, _sql = REGISTRY[name]
-        df = fn(spark, SF)
+    items = [
+        (n, (lambda s, fn=REGISTRY[n][0]: fn(s, SF)), c) for n, c in AUDIT.items()
+    ]
+    items += [(n, fn, c) for n, (fn, c) in EXTRA_AUDIT.items()]
+    for name, build, checks in items:
+        df = build(spark)
         qe = df._jdf.queryExecution()
         mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
         plan = qe.explainString(mode.fromString("formatted"))
         # codegen subtrees only materialize under AQE at runtime; plan the
         # same query with AQE off to count them statically
         spark.conf.set("spark.sql.adaptive.enabled", "false")
-        cg = fn(spark, SF)._jdf.queryExecution().explainString(mode.fromString("codegen"))
+        cg = build(spark)._jdf.queryExecution().explainString(mode.fromString("codegen"))
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         out.append(f"## {name}")
         out.append("")

@@ -6,17 +6,33 @@ near-free when CASCADED (1m → 1h → 1d), since each cascade step reduces
 input ~60× and reuses the (series_key) clustering.
 
 Aggregate set per bucket: cnt / sum / min / max / first / last, with
-first/last defined by time order via lexicographic struct min/max
-(JVM-side, no window sort needed — crucial at 10^12 rows where a
-per-series global sort just to pick endpoints would dominate the job).
-The struct key makes the pick DETERMINISTIC under duplicate timestamps
-(r4 self-review: ``min_by(value, t)`` ties were partition-order-dependent,
-which broke the cascade's bit-equality contract and hash stability):
-ties at the same t resolve to the smallest value for first, largest for
-last — the same total orders the M4 aggregate uses. Null values would
-sort unlike ``min_by``'s null-skipping (struct comparison orders them);
-the series tables this engine rolls up carry non-null values (gap-filled
-upstream) — use explicit filters before rollup otherwise.
+first/last defined by time order — JVM-side, no window sort (crucial at
+10^12 rows where a per-series global sort just to pick endpoints would
+dominate the job).
+
+Two physical forms for the first/last pick (r4: measured, both tested):
+
+- default (``tie_safe=False``): ``min_by(value, t)`` / ``max_by(value,
+  t)``. Primitive ordering key → **HashAggregateExec** with map-side
+  partial aggregation — the plan this engine wants at scale (audited in
+  docs/PLANS.md). Deterministic under the point-store contract that
+  ``(series_key, t)`` is unique (what ingest dedup / refresh splicing
+  maintain, and what every timeseries store's upsert key is); with
+  duplicate timestamps the pick among equal-t rows is
+  partition-order-dependent.
+- ``tie_safe=True``: lexicographic ``min/max(struct(t, value))`` — a
+  total order, deterministic under ANY input (ties at equal t resolve to
+  smallest value for first, largest for last — the same orders the M4
+  aggregate uses). Struct buffers are not hash-aggregable, so Catalyst
+  plans **SortAggregateExec** (map-side sort before the partial agg):
+  correct fallback for untrusted input, not the default, because the
+  extra in-partition sort of the full raw scan is exactly what this
+  module exists to avoid.
+
+The two forms agree whenever the uniqueness contract holds (tested, and
+the driver's events table satisfies it). Null values: ``min_by`` skips
+null ordering keys; the series tables this engine rolls up carry
+non-null t/values (gap-filled upstream) — filter explicitly otherwise.
 """
 
 from __future__ import annotations
@@ -33,18 +49,26 @@ def rollup(
     key_col: str = "series_key",
     time_col: str = "t",
     value_col: str = "value",
+    tie_safe: bool = False,
 ) -> DataFrame:
-    """Aggregate raw points into one retention tier."""
+    """Aggregate raw points into one retention tier (see module docstring
+    for the ``tie_safe`` physical-form tradeoff)."""
     sec = TIER_SECONDS[tier]
     bucket = (F.floor(F.col(time_col) / sec) * sec).cast("long").alias("bucket_start")
-    tv = F.struct(F.col(time_col).alias("t"), F.col(value_col).alias("v"))
+    if tie_safe:
+        tv = F.struct(F.col(time_col).alias("t"), F.col(value_col).alias("v"))
+        vfirst = F.min(tv).getField("v")
+        vlast = F.max(tv).getField("v")
+    else:
+        vfirst = F.min_by(value_col, time_col)
+        vlast = F.max_by(value_col, time_col)
     return points.groupBy(F.col(key_col).alias("series_key"), bucket).agg(
         F.count(value_col).alias("cnt"),
         F.sum(value_col).alias("vsum"),
         F.min(value_col).alias("vmin"),
         F.max(value_col).alias("vmax"),
-        F.min(tv).getField("v").alias("vfirst"),
-        F.max(tv).getField("v").alias("vlast"),
+        vfirst.alias("vfirst"),
+        vlast.alias("vlast"),
     )
 
 
@@ -52,18 +76,19 @@ def cascade(lower: DataFrame, to_tier: str) -> DataFrame:
     """Roll a finer tier up into a coarser one without touching raw data.
 
     Exactness: cnt/sum/min/max compose associatively; first/last compose
-    via struct min/max keyed on the finer bucket_start (the child bucket
-    holding the coarse bucket's minimum t is unique, and within it the
-    child's pick already used rollup()'s (t, value) total order, so the
-    composition reproduces ``rollup(raw, to_tier)``'s pick exactly — also
-    under duplicate timestamps). Equals ``rollup(raw, to_tier)``
-    bit-for-bit except vsum, where float addition order may differ at the
-    last ulp (tests assert tight tolerance there, exactness elsewhere).
+    by picking the child bucket with the extreme bucket_start — child
+    bucket_starts are UNIQUE per series (they're group keys of the finer
+    tier), so this ``min_by``/``max_by`` is tie-FREE by construction and
+    therefore deterministic for any input, while keeping the primitive
+    ordering key that HashAggregateExec needs (no struct, no sort — the
+    cascade reuses the finer tier's clustering). The child's own pick
+    already applied rollup()'s ordering, so the composition reproduces
+    ``rollup(raw, to_tier)`` exactly. Equals it bit-for-bit except vsum,
+    where float addition order may differ at the last ulp (tests assert
+    tight tolerance there, exactness elsewhere).
     """
     sec = TIER_SECONDS[to_tier]
     coarse = lower.withColumn("coarse_bucket", (F.floor(F.col("bucket_start") / sec) * sec).cast("long"))
-    bf = F.struct(F.col("bucket_start").alias("b"), F.col("vfirst").alias("v"))
-    bl = F.struct(F.col("bucket_start").alias("b"), F.col("vlast").alias("v"))
     return (
         coarse.groupBy("series_key", "coarse_bucket")
         .agg(
@@ -71,11 +96,8 @@ def cascade(lower: DataFrame, to_tier: str) -> DataFrame:
             F.sum("vsum").alias("vsum"),
             F.min("vmin").alias("vmin"),
             F.max("vmax").alias("vmax"),
-            # child bucket_starts are unique per series, so these struct
-            # picks are tie-free; the struct form keeps the pick aligned
-            # with rollup()'s total order
-            F.min(bf).getField("v").alias("vfirst"),
-            F.max(bl).getField("v").alias("vlast"),
+            F.min_by("vfirst", "bucket_start").alias("vfirst"),
+            F.max_by("vlast", "bucket_start").alias("vlast"),
         )
         .withColumnRenamed("coarse_bucket", "bucket_start")
     )
@@ -172,10 +194,15 @@ def downsample_m4_agg(
 ) -> DataFrame:
     """M4 as a pure AGGREGATE (r3 verdict #5): per (key, bucket) the four
     role rows are lexicographic min/max over (t, value) / (value, ±t)
-    structs — sort-free, and the map-side partial aggregate shuffles only
-    four structs per bucket instead of every input row, which is the
-    difference between an all-data shuffle and a metadata-sized one at
-    10^12 rows. Output and tie-breaks are IDENTICAL to ``downsample_m4``
+    structs. The struct buffers make Catalyst plan SortAggregateExec (an
+    in-partition sort by the group key — kept deliberately: M4's contract
+    REQUIRES total-order tie-breaks identical to the window-form oracle
+    under duplicate timestamps/values, which primitive ``min_by`` can't
+    give), but unlike the window shape there is no per-bucket global
+    window, and the map-side partial aggregate shuffles only four structs
+    per bucket instead of every input row — the difference between an
+    all-data shuffle and a metadata-sized one at 10^12 rows.
+    Output and tie-breaks are IDENTICAL to ``downsample_m4``
     (same four total orders; ``rn_max``'s (value desc, t asc) order is
     ``max`` over (value, -t)) for non-null values; null values are not
     supported here (struct comparison would order them first, not last —

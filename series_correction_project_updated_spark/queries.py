@@ -261,7 +261,6 @@ GROUP BY d.user_id ORDER BY user_id
 
 def _rollup_spark(spark, sf_dir, sec: int):
     pts = _event_points(spark, sf_dir)
-    tv = F.struct(F.col("t").alias("t"), F.col("value").alias("v"))
     return (
         pts.groupBy(
             "user_id", (F.floor(F.col("t") / sec) * sec).cast("long").alias("bucket_start")
@@ -271,10 +270,12 @@ def _rollup_spark(spark, sf_dir, sec: int):
             F.round(F.sum("value"), 4).alias("vsum"),
             F.min("value").alias("vmin"),
             F.max("value").alias("vmax"),
-            # struct min/max = deterministic first/last under duplicate
-            # timestamps (same total order as operators/rollup.rollup)
-            F.min(tv).getField("v").alias("vfirst"),
-            F.max(tv).getField("v").alias("vlast"),
+            # min_by/max_by: primitive ordering key -> HashAggregateExec
+            # (operators/rollup.rollup default form; events carry unique
+            # (user_id, ts) so the pick is deterministic — the tie_safe
+            # struct form would force SortAggregate, see rollup docstring)
+            F.min_by("value", "t").alias("vfirst"),
+            F.max_by("value", "t").alias("vlast"),
         )
     )
 
@@ -285,8 +286,7 @@ WITH pts AS (SELECT user_id, epoch_ms(ts)/1000.0 AS t, value FROM events)
 SELECT user_id, CAST(floor(t/{sec})*{sec} AS BIGINT) AS bucket_start,
        count(value) AS cnt, round(sum(value), 4) AS vsum,
        min(value) AS vmin, max(value) AS vmax,
-       struct_extract(min({{'t': t, 'v': value}}), 'v') AS vfirst,
-       struct_extract(max({{'t': t, 'v': value}}), 'v') AS vlast
+       arg_min(value, t) AS vfirst, arg_max(value, t) AS vlast
 FROM pts GROUP BY user_id, bucket_start
 """
 
@@ -558,8 +558,7 @@ def _rollup_tiers_sql() -> str:
        CAST(floor(t/{sec})*{sec} AS BIGINT) AS bucket_start,
        count(value) AS cnt, round(sum(value), 4) AS vsum,
        min(value) AS vmin, max(value) AS vmax,
-       struct_extract(min({{'t': t, 'v': value}}), 'v') AS vfirst,
-       struct_extract(max({{'t': t, 'v': value}}), 'v') AS vlast
+       arg_min(value, t) AS vfirst, arg_max(value, t) AS vlast
 FROM pts GROUP BY user_id, bucket_start"""
         for sec, name in _TIERS
     ]

@@ -41,7 +41,9 @@ def streaming_rollup(
             F.min(value_col).alias("vmin"),
             F.max(value_col).alias("vmax"),
             # struct min/max — same deterministic duplicate-timestamp
-            # tie-break as the batch rollup (operators/rollup.rollup)
+            # tie-break as the batch rollup's tie_safe=True form (state
+            # stores update per-row, so the struct buffer costs nothing
+            # here, unlike batch where it forces SortAggregate)
             F.min(F.struct(F.col(ts_col).alias("t"), F.col(value_col).alias("v")))
             .getField("v")
             .alias("vfirst"),

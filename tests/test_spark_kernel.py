@@ -113,6 +113,30 @@ def test_rollup_matches_pandas(spark, series_pdf):
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=False, rtol=1e-12)
 
 
+def test_rollup_tie_safe_forms_agree_and_plan_differs(spark, series_pdf):
+    """Default (min_by, HashAggregate) and tie_safe (struct, SortAggregate)
+    forms agree on unique-timestamp input; under duplicate timestamps the
+    tie_safe form is deterministic with the documented (t, value) total
+    order; and the default form really does plan hash aggregation."""
+    sdf = spark.createDataFrame(series_pdf)
+    a = rollup(sdf, "1h").orderBy("series_key", "bucket_start").toPandas()
+    b = rollup(sdf, "1h", tie_safe=True).orderBy("series_key", "bucket_start").toPandas()
+    pd.testing.assert_frame_equal(a, b, check_exact=False, rtol=1e-12)
+
+    plan_fast = rollup(sdf, "1h")._jdf.queryExecution().executedPlan().toString()
+    plan_safe = rollup(sdf, "1h", tie_safe=True)._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan_fast and "HashAggregate" in plan_fast
+    assert "SortAggregate" in plan_safe
+
+    dup = spark.createDataFrame(
+        [("s", 10.0, 5.0), ("s", 10.0, 1.0), ("s", 20.0, 9.0), ("s", 20.0, 3.0)],
+        "series_key string, t double, value double",
+    )
+    row = rollup(dup, "1m", tie_safe=True).collect()[0]
+    assert row["vfirst"] == 1.0  # min t, tie -> smallest value
+    assert row["vlast"] == 9.0  # max t, tie -> largest value
+
+
 def test_cascade_equals_direct(spark, series_pdf):
     sdf = spark.createDataFrame(series_pdf)
     tiers = rollup_all_tiers(sdf)
