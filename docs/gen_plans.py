@@ -46,7 +46,7 @@ AUDIT = {
     "q_rollup_tiers": [
         ("pure hash aggregates, no window (all 3 tiers)", r"HashAggregate"),
         ("events scan prunes to 3 cols", r"ReadSchema: struct<ts:timestamp[^\n]*user_id|ReadSchema: struct<user_id"),
-        ("union of tiers, no join", r"^(?!.*(SortMergeJoin|CartesianProduct))"),
+        ("union of tiers, no join", r"(?s)^(?!.*(SortMergeJoin|CartesianProduct))"),
     ],
     "q_interpolate_nulls": [
         ("native window functions (no Python)", r"RunningWindowFunction|Window"),
@@ -75,7 +75,7 @@ AUDIT = {
     ],
     "q_simhash_portable": [
         ("JVM token hashing feeds ONE Arrow vote fold", r"ArrowEvalPython|MapInPandas"),
-        ("no cartesian / no extra shuffle stages", r"^(?!.*CartesianProduct)"),
+        ("no cartesian / no extra shuffle stages", r"(?s)^(?!.*CartesianProduct)"),
     ],
     "q_retention_1h": [
         ("NO Python in plan (pure bucket_start predicate)", "NO_PYTHON"),
@@ -90,11 +90,11 @@ AUDIT = {
     ],
     "q_asof_join": [
         ("NO Python in plan (union + running-last window)", "NO_PYTHON"),
-        ("no join operator at all - window shape", r"^(?!.*(SortMergeJoin|CartesianProduct))"),
+        ("no join operator at all - window shape", r"(?s)^(?!.*(SortMergeJoin|CartesianProduct))"),
     ],
     "q_asof_forward": [
         ("NO Python in plan (union + running-first window)", "NO_PYTHON"),
-        ("no join operator at all - window shape", r"^(?!.*(SortMergeJoin|CartesianProduct))"),
+        ("no join operator at all - window shape", r"(?s)^(?!.*(SortMergeJoin|CartesianProduct))"),
     ],
     "q_compress_roundtrip": [
         ("Arrow-batched codec both ways (mapInPandas x2)", r"MapInPandas"),
@@ -137,16 +137,50 @@ def _refresh_tier_pruned(spark):
     return refresh_tier(standing, disk, late, "1m", prune_partition_col="bucket_date")
 
 
+def _read_range_pruned(spark):
+    """Non-registry extra: read_range over a parquet-backed compressed
+    store — the [t_min, t_max] chunk-stat filter must reach the parquet
+    scan (PushedFilters), i.e. chunks are eliminated by row-group stats
+    before a single payload byte feeds the decode UDF."""
+    import tempfile
+
+    from series_correction_project_updated_spark.operators.compress import (
+        compress_rollup,
+        read_range,
+    )
+    from series_correction_project_updated_spark.operators.rollup import rollup
+    from series_correction_project_updated_spark.sources.synth import (
+        generate_pages,
+        pages_to_series,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="plans_readrange_")
+    pts = pages_to_series(generate_pages(spark, n_urls=6, samples_per_url=120, seed=7))
+    compress_rollup(rollup(pts, "1m"), "1m", chunk_buckets=64).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/store")
+    store = spark.read.parquet(f"{tmp}/store")
+    return read_range(store, t_lo=1_700_000_000, t_hi=1_800_000_000)
+
+
 # plans audited OUTSIDE the 50-entry driver registry (operator surface
 # with no registry slot); fn(spark) -> DataFrame
 EXTRA_AUDIT = {
+    "read_range (compressed store, non-registry)": (
+        _read_range_pruned,
+        [
+            ("chunk-stat time filter pushed to the parquet scan", r"PushedFilters: \[[^\]]*(t_max|t_min)"),
+            ("decode UDF present downstream (MapInPandas)", r"MapInPandas"),
+            ("scan -> decode is shuffle-free (no Exchange)", r"(?s)^(?!.*Exchange)"),
+        ],
+    ),
     "refresh_tier (pruned, non-registry)": (
         _refresh_tier_pruned,
         [
             ("touched-day partition filter reaches the scan", r"PartitionFilters: \[[^\]]*bucket_date"),
             ("invalidation semi-join broadcasts (store never shuffles on it)", r"BroadcastHashJoin[^\n]*LeftSemi"),
             ("splice anti-join broadcasts (tier never shuffles on it)", r"BroadcastHashJoin[^\n]*LeftAnti"),
-            ("no sort-merge join / no cartesian anywhere", r"^(?!.*(SortMergeJoin|CartesianProduct))"),
+            ("no sort-merge join / no cartesian anywhere", r"(?s)^(?!.*(SortMergeJoin|CartesianProduct))"),
         ],
     ),
 }

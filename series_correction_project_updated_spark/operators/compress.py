@@ -56,13 +56,16 @@ def compress_rollup(
             return
         pdf = pd.concat(chunks, ignore_index=True)
         pdf = pdf.sort_values(["series_key", "chunk_start", "bucket_start"])
-        out_keys, out_starts, out_n, out_payload = [], [], [], []
+        out_keys, out_starts, out_n, out_tmin, out_tmax, out_payload = [], [], [], [], [], []
         for (key, start), grp in pdf.groupby(["series_key", "chunk_start"], sort=False):
             ts = grp["bucket_start"].to_numpy("int64")
             vals = grp[value_col].to_numpy("float64")
             out_keys.append(key)
             out_starts.append(int(start))
             out_n.append(len(ts))
+            # ts is sorted within the group — exact bounds are the ends
+            out_tmin.append(int(ts[0]))
+            out_tmax.append(int(ts[-1]))
             out_payload.append(codec.encode_chunk(ts, vals))
         yield pd.DataFrame(
             {
@@ -73,9 +76,11 @@ def compress_rollup(
                 # payloads stay readable via decode_chunk's legacy branch
                 "codec": "gorilla-dod-xor-v2",
                 "n_points": out_n,
+                "t_min": out_tmin,
+                "t_max": out_tmax,
                 "payload": out_payload,
             }
-        )[["series_key", "tier", "chunk_start", "codec", "n_points", "payload"]]
+        )[["series_key", "tier", "chunk_start", "codec", "n_points", "t_min", "t_max", "payload"]]
 
     return with_chunk.repartition(num_partitions, "series_key").mapInPandas(
         _encode_partition, schema=COMPRESSED
@@ -124,6 +129,52 @@ def decompress_to_points(compressed: DataFrame) -> DataFrame:
             )[cols]
 
     return compressed.mapInPandas(_decode, schema=out_schema)
+
+
+def read_range(
+    compressed: DataFrame,
+    t_lo: int | None = None,
+    t_hi: int | None = None,
+    series_keys: list[str] | None = None,
+) -> DataFrame:
+    """Serve a time window (both bounds inclusive) from the compressed
+    store, decoding ONLY overlapping chunks.
+
+    The serving path that makes the compressed store usable at scale:
+    pruning is a JVM-side filter on the per-chunk ``[t_min, t_max]`` stat
+    columns written at encode time, applied BEFORE the Python decode UDF —
+    on a parquet-backed store this is exactly the predicate parquet
+    row-group min/max statistics eliminate without reading payload bytes
+    (audited: the filter shows under PushedFilters in docs/PLANS.md), and
+    with a chunk_start-sorted layout a day's query over years of data
+    touches ~span/chunk_span of the chunks. A final row trim handles
+    boundary chunks, which straddle the requested window.
+
+    ``series_keys``: optional key pruning (same mechanism — dictionary /
+    min-max stats on a string column). Stores written before the stat
+    columns existed (schema v1) lack ``t_min``/``t_max``; the fallback
+    prunes on ``chunk_start <= t_hi`` only (rows are never below their
+    chunk_start; no upper bound is known without the chunk span) — exact,
+    just weaker. Output schema = ``decompress_to_points``.
+    """
+    have_stats = "t_min" in compressed.columns and "t_max" in compressed.columns
+    pruned = compressed
+    if series_keys is not None:
+        pruned = pruned.where(F.col("series_key").isin(series_keys))
+    if have_stats:
+        if t_lo is not None:
+            pruned = pruned.where(F.col("t_max") >= int(t_lo))
+        if t_hi is not None:
+            pruned = pruned.where(F.col("t_min") <= int(t_hi))
+    elif t_hi is not None:
+        pruned = pruned.where(F.col("chunk_start") <= int(t_hi))
+
+    pts = decompress_to_points(pruned)
+    if t_lo is not None:
+        pts = pts.where(F.col("bucket_start") >= int(t_lo))
+    if t_hi is not None:
+        pts = pts.where(F.col("bucket_start") <= int(t_hi))
+    return pts
 
 
 def bytes_per_point(compressed: DataFrame) -> DataFrame:

@@ -57,6 +57,12 @@ COMPRESSED = T.StructType(
         T.StructField("chunk_start", T.LongType(), False),
         T.StructField("codec", T.StringType(), False),
         T.StructField("n_points", T.LongType(), False),
+        # exact per-chunk time bounds (first/last encoded bucket_start):
+        # the pruning stats for range reads — on a parquet store these are
+        # the columns row-group min/max skipping works against, so a time
+        # predicate eliminates chunks without touching payload bytes
+        T.StructField("t_min", T.LongType(), False),
+        T.StructField("t_max", T.LongType(), False),
         T.StructField("payload", T.BinaryType(), False),
     ]
 )

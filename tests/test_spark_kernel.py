@@ -167,6 +167,58 @@ def test_compress_roundtrip_spark(spark, series_pdf):
     assert float(bpp["bytes_per_point"].iloc[0]) < 16.0
 
 
+def test_read_range_prunes_chunks_and_matches_full_decode(spark, series_pdf):
+    from series_correction_project_updated_spark.operators.compress import read_range
+
+    sdf = spark.createDataFrame(series_pdf)
+    r1m = rollup(sdf, "1m")
+    # small chunks -> several per series, so pruning has something to skip
+    comp = compress_rollup(r1m, "1m", value_col="vsum", chunk_buckets=64)
+    stats = comp.agg(F.min("t_min"), F.max("t_max")).collect()[0]
+    lo, hi = int(stats[0]), int(stats[1])
+    # stat columns are exact bounds of the decoded points
+    per_chunk = decompress_to_points(comp).groupBy("series_key").agg(
+        F.min("bucket_start").alias("plo"), F.max("bucket_start").alias("phi")
+    )
+    agg = comp.groupBy("series_key").agg(
+        F.min("t_min").alias("clo"), F.max("t_max").alias("chi")
+    )
+    j = per_chunk.join(agg, "series_key")
+    assert j.where((F.col("plo") != F.col("clo")) | (F.col("phi") != F.col("chi"))).count() == 0
+
+    # a window in the middle third of the data
+    t_lo = lo + (hi - lo) // 3
+    t_hi = lo + 2 * (hi - lo) // 3
+    got = read_range(comp, t_lo, t_hi).orderBy("series_key", "bucket_start").toPandas()
+    want = (
+        decompress_to_points(comp)
+        .where((F.col("bucket_start") >= t_lo) & (F.col("bucket_start") <= t_hi))
+        .orderBy("series_key", "bucket_start")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+    assert len(got) > 0
+    # the JVM-side chunk filter really skips chunks before any decode
+    surviving = comp.where((F.col("t_max") >= t_lo) & (F.col("t_min") <= t_hi)).count()
+    assert surviving < comp.count()
+
+    # key pruning composes
+    one_key = got["series_key"].iloc[0]
+    got_k = read_range(comp, t_lo, t_hi, series_keys=[one_key]).toPandas()
+    pd.testing.assert_frame_equal(
+        got_k.sort_values(["bucket_start"]).reset_index(drop=True),
+        want[want["series_key"] == one_key]
+        .sort_values(["bucket_start"])
+        .reset_index(drop=True),
+        check_exact=True,
+    )
+
+    # v1 stores (no stat columns): weaker chunk_start-only pruning, same rows
+    v1 = comp.drop("t_min", "t_max")
+    got_v1 = read_range(v1, t_lo, t_hi).orderBy("series_key", "bucket_start").toPandas()
+    pd.testing.assert_frame_equal(got_v1, want, check_exact=True)
+
+
 def test_text_byte_identity(spark):
     """north_rule invariant: extracted text stays byte-identical per url."""
     pages = generate_pages(spark, n_urls=10, samples_per_url=50)
