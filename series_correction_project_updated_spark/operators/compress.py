@@ -177,6 +177,61 @@ def read_range(
     return pts
 
 
+def refresh_compressed(
+    store: DataFrame,
+    refreshed_tier: DataFrame,
+    invalidation: DataFrame,
+    tier: str,
+    value_col: str = "vsum",
+    chunk_buckets: int = 16384,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Propagate a tier refresh (operators/refresh.py) into the compressed
+    store, re-encoding ONLY touched chunks.
+
+    The chunk is the atomic compressed unit, so chunk-level invalidation
+    is the bucket invalidation set mapped onto chunk boundaries: a chunk
+    is re-encoded iff it contains an invalidated (series_key, bucket).
+    Untouched chunks keep their standing payload BYTES; touched chunks are
+    re-encoded from the refreshed tier slice — per-chunk encoding is
+    independent of every other chunk, so the result equals
+    ``compress_rollup(refreshed_tier)`` payload-byte-for-byte (tested).
+    ``chunk_buckets`` must match the store's encode-time value (chunk
+    boundaries are derived from it).
+
+    Scale shape, mirroring ``refresh_tier``: the touched-chunk set is
+    trickle-sized and broadcasts into both the anti-join (keep side —
+    chunk rows, never points, and no shuffle of the store) and the
+    semi-join (re-encode side); only the touched slices pass through the
+    encoder. Late data never forces re-compressing the store.
+    """
+    sec = TIER_SECONDS[tier]
+    chunk_span = sec * chunk_buckets
+
+    touched = invalidation.select(
+        "series_key",
+        (F.floor(F.col("bucket_start") / chunk_span) * chunk_span)
+        .cast("long")
+        .alias("chunk_start"),
+    ).distinct()
+
+    kept = store.join(F.broadcast(touched), ["series_key", "chunk_start"], "left_anti")
+
+    slice_cond = (
+        (refreshed_tier["series_key"] == touched["series_key"])
+        & (
+            (F.floor(refreshed_tier["bucket_start"] / chunk_span) * chunk_span).cast("long")
+            == touched["chunk_start"]
+        )
+    )
+    affected = refreshed_tier.join(F.broadcast(touched), slice_cond, "left_semi")
+    recomputed = compress_rollup(
+        affected, tier, value_col=value_col, chunk_buckets=chunk_buckets,
+        num_partitions=num_partitions,
+    )
+    return kept.unionByName(recomputed)
+
+
 def bytes_per_point(compressed: DataFrame) -> DataFrame:
     """Metric: compressed bytes per rolled-up point, per tier."""
     return compressed.groupBy("tier").agg(

@@ -175,3 +175,54 @@ def test_recorrect_series_equals_full_kernel(spark, split):
     import pandas as pd
 
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_refresh_compressed_equals_full_recompress(spark, split, tmp_path):
+    """Chunk-level refresh propagation: untouched chunks keep their
+    standing payload BYTES, touched chunks re-encode, and the result is
+    payload-byte-identical to compressing the refreshed tier from
+    scratch. Tiers are materialized to parquet so both paths encode the
+    exact same float bits (fp sum order varies between plan runs)."""
+    from series_correction_project_updated_spark.operators.compress import (
+        compress_rollup,
+        refresh_compressed,
+    )
+
+    base, late, allpts = split
+    chunk_buckets = 64
+
+    rollup(base, "1m").write.parquet(str(tmp_path / "standing"))
+    standing = spark.read.parquet(str(tmp_path / "standing"))
+    refresh_tier(standing, allpts, late, "1m").write.parquet(str(tmp_path / "refreshed"))
+    refreshed = spark.read.parquet(str(tmp_path / "refreshed"))
+
+    store = compress_rollup(standing, "1m", chunk_buckets=chunk_buckets)
+    inv = invalidated_buckets(late, "1m")
+    got = (
+        refresh_compressed(store, refreshed, inv, "1m", chunk_buckets=chunk_buckets)
+        .orderBy("series_key", "chunk_start")
+        .toPandas()
+    )
+    want = (
+        compress_rollup(refreshed, "1m", chunk_buckets=chunk_buckets)
+        .orderBy("series_key", "chunk_start")
+        .toPandas()
+    )
+    assert list(got["series_key"]) == list(want["series_key"])
+    assert list(got["chunk_start"]) == list(want["chunk_start"])
+    assert list(got["n_points"]) == list(want["n_points"])
+    assert list(got["t_min"]) == list(want["t_min"])
+    assert list(got["t_max"]) == list(want["t_max"])
+    assert all(bytes(a) == bytes(b) for a, b in zip(got["payload"], want["payload"]))
+
+    # and it really is incremental: only chunks containing an invalidated
+    # bucket were re-encoded
+    chunk_span = 60 * chunk_buckets
+    touched = inv.select(
+        "series_key",
+        (F.floor(F.col("bucket_start") / chunk_span) * chunk_span)
+        .cast("long")
+        .alias("chunk_start"),
+    ).distinct()
+    n_touched = touched.count()
+    assert 0 < n_touched < len(want)
