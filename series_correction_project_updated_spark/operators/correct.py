@@ -9,7 +9,9 @@ oracle (``oracle/correction.py``) — Arrow-vectorized, zero per-row Python.
 
 Scale notes (100 TB / 10^12 rows):
 - Shuffle: exactly ONE hash shuffle on ``series_key``; everything downstream
-  (rollups) re-uses that clustering where possible.
+  (rollups) re-uses that clustering where possible. Off a bucketed point
+  store (sources/bucketstore) even that shuffle disappears —
+  ``assume_clustered=True`` makes the job scan → kernel, zero exchanges.
 - Skew: a hot url can dwarf others. ``correct_series_chunked`` splits long
   series into fixed TIME chunks (default 1 year, mirroring the reference's
   own year-file decomposition) processed independently, then realigns chunk
@@ -46,6 +48,7 @@ def correct_series(
     time_col: str = "t",
     value_col: str = "value",
     num_partitions: int | None = None,
+    assume_clustered: bool = False,
 ) -> DataFrame:
     """Run the full 3-step correction per series. Returns (series_key, t, value).
 
@@ -86,9 +89,17 @@ def correct_series(
             out.insert(0, "series_key", key)
             yield out[["series_key", "t", "value"]]
 
-    return points.repartition(num_partitions, key_col).mapInPandas(
-        _process_partition, schema=CORRECTED_POINTS
-    )
+    # assume_clustered: the caller guarantees no series straddles input
+    # partitions (a bucketed store read via sources/bucketstore — the
+    # write-time shuffle already clustered by key), so the kernel's one
+    # exchange disappears and the whole job is scan → kernel. The partition
+    # count (and so the pandas memory bound) is then the store's bucket
+    # count, fixed at write time.
+    if assume_clustered:
+        clustered = points
+    else:
+        clustered = points.repartition(num_partitions, key_col)
+    return clustered.mapInPandas(_process_partition, schema=CORRECTED_POINTS)
 
 
 def correct_and_rollup(
