@@ -23,14 +23,20 @@ TIER_DURATION = {"1m": "1 minute", "1h": "1 hour", "1d": "1 day"}
 def streaming_rollup(
     pages_stream: DataFrame,
     tier: str = "1m",
-    watermark: str = "10 minutes",
+    watermark: str | None = "10 minutes",
     key_col: str = "url",
     ts_col: str = "warc_ts",
     value_col: str = "signal",
 ) -> DataFrame:
-    """readStream-ready rollup: watermarked tumbling-window aggregate."""
+    """readStream-ready rollup: watermarked tumbling-window aggregate.
+
+    ``watermark=None`` means the stream is already watermarked upstream
+    (e.g. ``ingest_stream.streaming_dedup`` in a chained-stateful query —
+    redefining a watermark mid-query is disallowed)."""
+    if watermark is not None:
+        pages_stream = pages_stream.withWatermark(ts_col, watermark)
     return (
-        pages_stream.withWatermark(ts_col, watermark)
+        pages_stream
         .groupBy(
             F.col(key_col).alias("series_key"),
             F.window(ts_col, TIER_DURATION[tier]).alias("w"),
