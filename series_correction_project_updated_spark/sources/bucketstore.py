@@ -43,6 +43,7 @@ note as operators/ingest.py.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _AUTO_BUCKETED_SCAN = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
 
@@ -54,6 +55,7 @@ def write_points_bucketed(
     key_col: str = "series_key",
     time_col: str = "t",
     path: str | None = None,
+    partition_by_day: bool = False,
 ) -> None:
     """Persist a point store hash-bucketed by ``key_col``.
 
@@ -62,16 +64,33 @@ def write_points_bucketed(
     contiguous on disk for chunk-local scans. ``path`` makes the table
     external (tests point it at a tmpdir); otherwise it lands in the
     session warehouse.
+
+    ``partition_by_day=True`` layers a ``bucket_date=`` UTC-day partition
+    UNDER the bucketing — one layout serving every access pattern in the
+    engine: day pruning for refresh (`refresh_tier`'s
+    ``prune_partition_col``) and metadata-only expiry
+    (`retention.expire_partition_dirs`), key clustering for the
+    exchange-free kernel. Same pure-UTC-day arithmetic as
+    ``refresh.write_points_partitioned`` (session-timezone independent).
+    File count becomes days × non-empty buckets — each still written by
+    exactly one task thanks to the pre-repartition.
     """
     spark = points.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+    clustered = points.repartition(buckets, key_col)
+    if partition_by_day:
+        clustered = clustered.withColumn(
+            "bucket_date",
+            F.date_from_unix_date(F.floor(F.col(time_col) / 86400).cast("int")),
+        )
     writer = (
-        points.repartition(buckets, key_col)
-        .write.format("parquet")
+        clustered.write.format("parquet")
         .bucketBy(buckets, key_col)
         .sortBy(key_col, time_col)
         .mode("overwrite")
     )
+    if partition_by_day:
+        writer = writer.partitionBy("bucket_date")
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(table)

@@ -68,6 +68,44 @@ def test_read_rejects_unbucketed_table(spark, points, tmp_path):
         read_points_bucketed(spark, "pts_plain")
 
 
+def test_day_partitioned_bucketed_layout(spark, points, tmp_path):
+    """The unified layout: bucket_date= partitions under key buckets.
+    A day-windowed kernel run must (a) prune to the window's partitions,
+    (b) still run exchange-free, (c) match the shuffled path on the same
+    window bit-exactly."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "combo")
+    write_points_bucketed(points, "pts_combo", buckets=8, path=path, partition_by_day=True)
+    stored = read_points_bucketed(spark, "pts_combo")
+    days = sorted(r[0] for r in stored.select("bucket_date").distinct().collect())
+    assert len(days) > 2
+    keep = days[: len(days) // 2]
+
+    windowed = stored.filter(F.col("bucket_date").isin([str(d) for d in keep])).drop(
+        "bucket_date"
+    )
+    clustered = correct_series(windowed, assume_clustered=True)
+    plan = clustered._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # partition pruning reached the scan: only the kept days' files open
+    import re
+
+    files_read = {m for f in clustered.inputFiles() for m in re.findall(r"bucket_date=([0-9-]+)", f)}
+    assert files_read and files_read <= {str(d) for d in keep}
+
+    shuffled = correct_series(
+        points.filter(
+            F.date_from_unix_date(F.floor(F.col("t") / 86400).cast("int")).isin(
+                [str(d) for d in keep]
+            )
+        )
+    )
+    a = sorted(map(tuple, clustered.collect()))
+    b = sorted(map(tuple, shuffled.collect()))
+    assert a == b
+
+
 def test_autobucketedscan_pinned_off(spark, points, tmp_path):
     """The footgun this module exists for: with autoBucketedScan left on,
     a mapInPandas plan (no required distribution) gets a REGULAR file
