@@ -163,9 +163,63 @@ def _read_range_pruned(spark):
     return read_range(store, t_lo=1_700_000_000, t_hi=1_800_000_000)
 
 
+def _bucketed_kernel(spark):
+    """Non-registry extra: the correction kernel over a bucketed store
+    read (sources/bucketstore) — the scan must stay bucketed and the whole
+    job must plan with ZERO exchanges (the shuffle was paid at write)."""
+    import tempfile
+
+    from series_correction_project_updated_spark.operators.correct import correct_series
+    from series_correction_project_updated_spark.sources.bucketstore import (
+        read_points_bucketed,
+        write_points_bucketed,
+    )
+    from series_correction_project_updated_spark.sources.synth import (
+        generate_pages,
+        pages_to_series,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="plans_bucket_")
+    pts = pages_to_series(generate_pages(spark, n_urls=6, samples_per_url=60, seed=9))
+    write_points_bucketed(pts, "plans_bucket_store", buckets=4, path=f"{tmp}/store")
+    return correct_series(
+        read_points_bucketed(spark, "plans_bucket_store"), assume_clustered=True
+    )
+
+
+def _ingest_dedup(spark):
+    """Non-registry extra: point-store ingest dedup on the bare schema —
+    must plan as a pure-primitive HashAggregate (map-side partials), never
+    the SortAggregate a struct max_by would force."""
+    from series_correction_project_updated_spark.operators.ingest import dedup_points
+    from series_correction_project_updated_spark.sources.synth import (
+        generate_pages,
+        pages_to_series,
+    )
+
+    pts = pages_to_series(generate_pages(spark, n_urls=6, samples_per_url=60, seed=10))
+    return dedup_points(pts.unionByName(pts.sample(0.3, seed=1)))
+
+
 # plans audited OUTSIDE the 50-entry driver registry (operator surface
 # with no registry slot); fn(spark) -> DataFrame
 EXTRA_AUDIT = {
+    "bucketed-store kernel (non-registry)": (
+        _bucketed_kernel,
+        [
+            ("scan → kernel with ZERO exchanges", r"(?s)^(?!.*Exchange)"),
+            ("Arrow kernel (MapInPandas)", r"MapInPandas"),
+            ("scan is bucketed (clustering came from storage)", r"Bucketed: true"),
+        ],
+    ),
+    "ingest dedup_points (non-registry)": (
+        _ingest_dedup,
+        [
+            ("pure-primitive HashAggregate", r"HashAggregate"),
+            ("no SortAggregate fallback", r"(?s)^(?!.*SortAggregate)"),
+            ("map-side partial aggregation before the exchange", r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate"),
+        ],
+    ),
     "read_range (compressed store, non-registry)": (
         _read_range_pruned,
         [
