@@ -107,7 +107,13 @@ def upsert_points(
     if prune_partition_col is not None:
         dates = [r[0] for r in clean.select(prune_partition_col).distinct().collect()]
         touched = store.filter(F.col(prune_partition_col).isin(dates))
-        untouched = store.filter(~F.col(prune_partition_col).isin(dates))
+        # null-safe: a null partition value fails BOTH isin and ~isin under
+        # three-valued logic — route such rows (contract-violating but
+        # possible in a hand-written store) through untouched, never drop
+        untouched = store.filter(
+            ~F.col(prune_partition_col).isin(dates)
+            | F.col(prune_partition_col).isNull()
+        )
     else:
         touched, untouched = store, None
 
