@@ -84,7 +84,7 @@ def partition_file_stats(spark: SparkSession, store_path: str) -> list[Partition
 
 
 def recover_orphan_staging(spark: SparkSession, store_path: str) -> list[str]:
-    """Finish or discard ``*.compacting`` staging dirs from a crashed run.
+    """Finish or discard ``_compact_staging/<partition>`` dirs from a crashed run.
 
     - Partition dir MISSING (crash landed between delete-old and rename):
       the staging dir holds the complete rewrite — rename it into place.
@@ -106,7 +106,11 @@ def recover_orphan_staging(spark: SparkSession, store_path: str) -> list[str]:
         if fs.exists(jpart):
             fs.delete(st.getPath(), True)
         else:
-            fs.rename(st.getPath(), jpart)
+            # Hadoop FS signals rename failure by RETURNING false, not
+            # raising — swallowing it would report a completed swap while
+            # the partition stays missing
+            if not fs.rename(st.getPath(), jpart):
+                raise IOError(f"recovery rename failed: {st.getPath()} -> {jpart}")
             completed.append(part)
     return completed
 
@@ -141,7 +145,15 @@ def compact_partitions(
             .parquet(staging)
         )
         jpart = jvm.org.apache.hadoop.fs.Path(part_dir)
-        fs.delete(jpart, True)
-        fs.rename(jstaging, jpart)
+        if not fs.delete(jpart, True):
+            raise IOError(f"compaction delete failed: {jpart}")
+        # false return = failed rename (see recover_orphan_staging); the
+        # partition is already gone, so failing LOUDLY here (staging still
+        # holds the data, recovery completes it) beats reporting success
+        if not fs.rename(jstaging, jpart):
+            raise IOError(
+                f"compaction rename failed: {jstaging} -> {jpart}; "
+                f"run recover_orphan_staging to complete the swap"
+            )
         done.append(stat.name)
     return done

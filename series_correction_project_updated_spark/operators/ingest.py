@@ -41,6 +41,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import utc_day
+
 
 def dedup_points(
     batch: DataFrame,
@@ -99,13 +101,26 @@ def upsert_points(
     if prune_partition_col is not None and prune_partition_col not in clean.columns:
         # batches arrive without the storage layout column — derive it
         # with the same pure-UTC-day arithmetic the store was written with
-        clean = clean.withColumn(
-            prune_partition_col,
-            F.date_from_unix_date(F.floor(F.col(time_col) / 86400).cast("int")),
-        )
+        clean = clean.withColumn(prune_partition_col, utc_day(time_col))
     clean = clean.select(*store.columns)
     if prune_partition_col is not None:
-        dates = [r[0] for r in clean.select(prune_partition_col).distinct().collect()]
+        # day set from the RAW batch (dedup cannot change it): one cheap
+        # scan instead of re-running the dedup aggregation for the collect.
+        # None is dropped from the list — a null in an isin() list makes
+        # the predicate NULL for every non-match, which would silently
+        # empty the untouched leg below. A null-day batch row (null t —
+        # contract-violating) cannot collide with any day partition and
+        # simply unions through.
+        day_src = (
+            F.col(prune_partition_col)
+            if prune_partition_col in batch.columns
+            else utc_day(time_col)
+        )
+        dates = [
+            r[0]
+            for r in batch.select(day_src.alias("d")).distinct().collect()
+            if r[0] is not None
+        ]
         touched = store.filter(F.col(prune_partition_col).isin(dates))
         # null-safe: a null partition value fails BOTH isin and ~isin under
         # three-valued logic — route such rows (contract-violating but

@@ -45,6 +45,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import utc_day
 from ..schema import TIER_SECONDS
 from .rollup import cascade, rollup
 
@@ -101,11 +102,7 @@ def refresh_tier(
     if prune_partition_col is not None:
         dates = [
             r[0]
-            for r in inv.select(
-                F.date_from_unix_date(
-                    F.floor(F.col("bucket_start") / 86400).cast("int")
-                ).alias("d")
-            )
+            for r in inv.select(utc_day("bucket_start").alias("d"))
             .distinct()
             .collect()
         ]
@@ -130,10 +127,9 @@ def write_points_partitioned(
     ``refresh_tier(prune_partition_col="bucket_date")`` prunes against.
     Same pure-UTC-day arithmetic as ``retention.write_tier_partitioned``
     (session-timezone independent)."""
-    points.withColumn(
-        "bucket_date",
-        F.date_from_unix_date(F.floor(F.col(time_col) / 86400).cast("int")),
-    ).write.mode("overwrite").partitionBy("bucket_date").parquet(path)
+    points.withColumn("bucket_date", utc_day(time_col)).write.mode(
+        "overwrite"
+    ).partitionBy("bucket_date").parquet(path)
 
 
 def refresh_cascade(

@@ -30,6 +30,8 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import utc_day
+
 #: default policy, seconds of history kept per tier (None = keep forever)
 DEFAULT_POLICY: dict[str, float | None] = {
     "1m": 90 * 86400.0,
@@ -186,7 +188,6 @@ def write_tier_partitioned(tier_df: DataFrame, path: str) -> None:
     delete path considers expired (r3 ADVICE). With this encoding the
     partition layout is identical under any session timezone.
     """
-    tier_df.withColumn(
-        "bucket_date",
-        F.date_from_unix_date(F.floor(F.col("bucket_start") / 86400).cast("int")),
-    ).write.mode("overwrite").partitionBy("bucket_date").parquet(path)
+    tier_df.withColumn("bucket_date", utc_day("bucket_start")).write.mode(
+        "overwrite"
+    ).partitionBy("bucket_date").parquet(path)

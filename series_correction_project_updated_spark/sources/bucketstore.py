@@ -45,6 +45,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import utc_day
+
 _AUTO_BUCKETED_SCAN = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
 
 
@@ -79,10 +81,7 @@ def write_points_bucketed(
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     clustered = points.repartition(buckets, key_col)
     if partition_by_day:
-        clustered = clustered.withColumn(
-            "bucket_date",
-            F.date_from_unix_date(F.floor(F.col(time_col) / 86400).cast("int")),
-        )
+        clustered = clustered.withColumn("bucket_date", utc_day(time_col))
     writer = (
         clustered.write.format("parquet")
         .bucketBy(buckets, key_col)

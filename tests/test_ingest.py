@@ -127,6 +127,31 @@ def test_upsert_partition_pruned_matches_unpruned(spark, tmp_path):
     assert len(dates) == 3
 
 
+def test_upsert_null_time_batch_row_cannot_wipe_untouched_days(spark, tmp_path):
+    """Regression: a null-t batch row put None into the touched-dates
+    list; isin([..., None]) is NULL for every non-match, so BOTH union
+    legs dropped all untouched-day store rows — silent data loss."""
+    from series_correction_project_updated_spark.operators.refresh import write_points_partitioned
+
+    day = 86400
+    store = _bare(spark, [("a", 10, 1.0), ("a", day + 10, 2.0), ("a", 2 * day + 10, 3.0)])
+    path = str(tmp_path / "store_null")
+    write_points_partitioned(store, path)
+    stored = spark.read.parquet(path)
+
+    batch = spark.createDataFrame(
+        [("a", day + 10, 20.0), ("z", None, 9.0)],
+        "series_key string, t long, value double",
+    )
+    out = upsert_points(stored, batch, prune_partition_col="bucket_date")
+    got = {(r.series_key, r.t): r.value for r in out.collect()}
+    assert got[("a", 10)] == 1.0  # untouched day survived
+    assert got[("a", 2 * day + 10)] == 3.0
+    assert got[("a", day + 10)] == 20.0
+    assert got[("z", None)] == 9.0  # contract-violating row unions through
+    assert len(got) == 4
+
+
 def test_upsert_prune_only_antijoins_touched_days(spark, tmp_path):
     """The untouched-day leg must reach the output without entering the
     anti-join: assert via the plan that exactly one join is present and
