@@ -90,6 +90,41 @@ def test_row_level_matches_duckdb_oracle(spark, events):
     assert got == want
 
 
+def test_session_stats_streams_with_watermark(spark, events, tmp_path):
+    """The same session_window aggregate must run as a watermarked
+    streaming query; closed sessions emitted in append mode must match
+    the batch sessions exactly (a session closes once the watermark
+    passes last_event + gap, so all but the final open sessions emit)."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # watermarks require TIMESTAMP (ltz) event time — the parquet carries
+    # NTZ; cast both legs identically (session tz is pinned UTC)
+    ev = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        session_stats(stream.withWatermark("ts", "0 seconds"), gap_sec=GAP, value_col=None)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(out)
+    batch = session_stats(ev, gap_sec=GAP, value_col=None)
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    emitted = sorted(map(tuple, got.select(*cols).collect()))
+    expected = sorted(map(tuple, batch.select(*cols).collect()))
+    assert len(emitted) > 0
+    # every emitted session must be a real batch session, and the only
+    # batch sessions allowed to be missing are watermark-held open ones
+    assert set(emitted) <= set(expected)
+    assert len(emitted) >= len(expected) - events.select("user_id").distinct().count()
+
+
 def test_single_shuffle_plan(spark, events):
     native = session_stats(events, gap_sec=GAP)
     plan = native._jdf.queryExecution().executedPlan().toString()
