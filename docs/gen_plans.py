@@ -220,6 +220,16 @@ EXTRA_AUDIT = {
             ("map-side partial aggregation before the exchange", r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate"),
         ],
     ),
+    "session_stats (non-registry)": (
+        lambda spark: __import__(
+            "series_correction_project_updated_spark.operators.sessionize", fromlist=["session_stats"]
+        ).session_stats(spark.read.parquet(f"{SF}/events.parquet")),
+        [
+            ("NO Python in plan (native session_window aggregate)", "NO_PYTHON"),
+            ("exactly one exchange (key shuffle only)", "EXCHANGES_1"),
+            ("no per-event Window operator (sessions merge inside the agg)", r"(?s)^(?!.*WindowExec)"),
+        ],
+    ),
     "read_range (compressed store, non-registry)": (
         _read_range_pruned,
         [
