@@ -227,7 +227,10 @@ EXTRA_AUDIT = {
         [
             ("NO Python in plan (native session_window aggregate)", "NO_PYTHON"),
             ("exactly one exchange (key shuffle only)", "EXCHANGES_1"),
-            ("no per-event Window operator (sessions merge inside the agg)", r"(?s)^(?!.*WindowExec)"),
+            # formatted explain prints the window node as "(N) Window" —
+            # match the node header, not the class name (WindowExec never
+            # appears), or the check can't fail
+            ("no per-event Window operator (sessions merge inside the agg)", r"(?s)^(?!.*\(\d+\) Window\b)"),
         ],
     ),
     "read_range (compressed store, non-registry)": (

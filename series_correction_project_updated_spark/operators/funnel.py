@@ -114,6 +114,9 @@ def funnel_counts(
         sorted(rows), "step int, step_name string, users long"
     )
     prev = F.lag("users").over(Window.orderBy("step"))
+    # try_divide: a funnel nobody enters has users=0 at every depth and
+    # 0/0 raises DIVIDE_BY_ZERO under ANSI mode — report null conversion
     return out.withColumn(
-        "conversion", F.when(prev.isNull(), F.lit(1.0)).otherwise(F.col("users") / prev)
+        "conversion",
+        F.when(prev.isNull(), F.lit(1.0)).otherwise(F.try_divide(F.col("users"), prev)),
     )

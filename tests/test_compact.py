@@ -5,6 +5,7 @@ import os
 
 from pyspark.sql import functions as F
 
+from series_correction_project_updated_spark.functions.timeutil import utc_day
 from series_correction_project_updated_spark.operators.compact import (
     STAGING_DIR,
     compact_partitions,
@@ -25,14 +26,11 @@ def _fragmented_store(spark, tmp_path, name="store"):
         e for e in os.listdir(path) if e.startswith("bucket_date=")
     )[0]
     hot_day = hot.split("=")[1]
-    frag = pts.filter(
-        F.date_from_unix_date(F.floor(F.col("t") / 86400).cast("int")) == hot_day
-    )
+    frag = pts.filter(utc_day("t") == hot_day)
     for i in range(6):  # six tiny appends -> the hot day fragments
-        frag.sample(0.05, seed=i).withColumn(
-            "bucket_date",
-            F.date_from_unix_date(F.floor(F.col("t") / 86400).cast("int")),
-        ).repartition(3).write.mode("append").partitionBy("bucket_date").parquet(path)
+        frag.sample(0.05, seed=i).withColumn("bucket_date", utc_day("t")).repartition(
+            3
+        ).write.mode("append").partitionBy("bucket_date").parquet(path)
     return pts, path, hot
 
 

@@ -113,6 +113,16 @@ def test_funnel_counts_report(spark):
     assert rep[3][1] == pytest.approx(1 / 2)
 
 
+def test_empty_funnel_reports_zero_not_divide_by_zero(spark):
+    """Regression: a funnel nobody enters has users=0 at every depth;
+    0/0 raised DIVIDE_BY_ZERO under ANSI mode instead of reporting."""
+    rows = [(1, 0.0, 1, "other"), (2, 1.0, 2, "error")]
+    rep = funnel_counts(_mk(spark, rows), STEPS).collect()
+    assert [r.users for r in rep] == [0, 0, 0]
+    assert rep[0].conversion == 1.0
+    assert rep[1].conversion is None and rep[2].conversion is None
+
+
 def test_single_shuffle_no_python(spark, events):
     df = funnel_reach(events, STEPS)
     plan = df._jdf.queryExecution().executedPlan().toString()
