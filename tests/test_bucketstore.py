@@ -106,6 +106,21 @@ def test_day_partitioned_bucketed_layout(spark, points, tmp_path):
     assert a == b
 
 
+def test_single_series_lookup_prunes_to_one_bucket(spark, points, tmp_path):
+    """The point-lookup serving path: an equality filter on the bucket key
+    must scan ONE bucket's files, not the store (Catalyst bucket pruning —
+    'SelectedBucketsCount: 1 out of N' on the scan node)."""
+    path = str(tmp_path / "store_prune")
+    write_points_bucketed(points, "pts_prune", buckets=8, path=path)
+    stored = read_points_bucketed(spark, "pts_prune")
+    key = points.select("series_key").first()[0]
+    one = stored.filter(stored.series_key == key)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+    plan = one._jdf.queryExecution().explainString(mode.fromString("formatted"))
+    assert "SelectedBucketsCount: 1 out of 8" in plan
+    assert one.count() == points.filter(points.series_key == key).count()
+
+
 def test_autobucketedscan_pinned_off(spark, points, tmp_path):
     """The footgun this module exists for: with autoBucketedScan left on,
     a mapInPandas plan (no required distribution) gets a REGULAR file

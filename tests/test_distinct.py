@@ -76,6 +76,40 @@ def test_small_cardinality_is_exact(spark):
     assert out.collect()[0].approx_distinct == 5
 
 
+def test_distinct_tier_streams_with_watermark(spark, events, tmp_path):
+    """hll_sketch_agg is a TypedImperativeAggregate and runs inside a
+    watermarked streaming aggregation — the live distinct tier. Closed
+    1h buckets must estimate identically to the batch tier."""
+    src = str(tmp_path / "src")
+    ev = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sketch"))
+        .select(
+            F.unix_timestamp("window.start").alias("bucket_start"),
+            F.hll_sketch_estimate("sketch").alias("approx_distinct"),
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("distinct_sink")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.bucket_start: r.approx_distinct for r in spark.table("distinct_sink").collect()
+    }
+    batch = {
+        r.bucket_start: r.approx_distinct for r in distinct_rollup(ev, "1h").collect()
+    }
+    assert len(got) > 0
+    for k, v in got.items():  # emitted (closed) buckets match batch exactly
+        assert batch[k] == v
+
+
 def test_keyed_variant_and_plan(spark, events):
     keyed = distinct_rollup(events, "1h", key_col="event_type")
     assert keyed.filter(F.col("approx_distinct") <= 0).count() == 0
