@@ -220,6 +220,18 @@ EXTRA_AUDIT = {
             ("map-side partial aggregation before the exchange", r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate"),
         ],
     ),
+    "funnel_reach (non-registry)": (
+        lambda spark: __import__(
+            "series_correction_project_updated_spark.operators.funnel", fromlist=["funnel_reach"]
+        ).funnel_reach(
+            spark.read.parquet(f"{SF}/events.parquet"), ["view", "click", "purchase"]
+        ),
+        [
+            ("NO Python in plan (JVM aggregate fold)", "NO_PYTHON"),
+            ("exactly one exchange (no k self-joins)", "EXCHANGES_1"),
+            ("no join operator anywhere", r"(?s)^(?!.*(SortMergeJoin|BroadcastHashJoin|CartesianProduct))"),
+        ],
+    ),
     "session_stats (non-registry)": (
         lambda spark: __import__(
             "series_correction_project_updated_spark.operators.sessionize", fromlist=["session_stats"]
