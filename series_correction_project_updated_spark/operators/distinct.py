@@ -29,7 +29,7 @@ the same epoch-seconds bucket the numeric tiers use).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..schema import TIER_SECONDS
@@ -83,4 +83,32 @@ def distinct_cascade(
         fine.groupBy(*keys)
         .agg(F.hll_union_agg("sketch").alias("sketch"))
         .withColumn("approx_distinct", F.hll_sketch_estimate("sketch"))
+    )
+
+
+def rolling_distinct(
+    tier_df: DataFrame,
+    buckets: int,
+    tier: str = "1d",
+    key_col: str | None = None,
+    out_col: str = "rolling_distinct",
+) -> DataFrame:
+    """Trailing-N-bucket distinct counts from stored sketches — the
+    DAU→WAU/MAU payoff of keeping sketches instead of numbers: a 7- or
+    30-day active-user series is a window UNION over the daily tier, no
+    raw re-scan, exact in sparse mode. ``hll_union_agg`` runs as a window
+    aggregate (range frame over ``bucket_start``), so missing days
+    simply contribute nothing.
+
+    The global (keyless) variant windows over ONE ordered partition —
+    fine, because the input is the tier itself (one row per bucket), not
+    raw data; pass ``key_col`` for per-key series, which partitions the
+    window.
+    """
+    sec = TIER_SECONDS[tier]
+    w = Window.partitionBy(*([key_col] if key_col else [])).orderBy(
+        "bucket_start"
+    ).rangeBetween(-(buckets - 1) * sec, 0)
+    return tier_df.withColumn(
+        out_col, F.hll_sketch_estimate(F.hll_union_agg("sketch").over(w))
     )
