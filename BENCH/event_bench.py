@@ -30,7 +30,9 @@ from bench import MIN_PROBE_IPS, _cpu_probe, _drain
 from series_correction_project_updated_spark.operators.distinct import (
     distinct_cascade,
     distinct_rollup,
+    rolling_distinct,
 )
+from series_correction_project_updated_spark.operators.cohort import cohort_retention
 from series_correction_project_updated_spark.operators.funnel import funnel_reach
 from series_correction_project_updated_spark.operators.sessionize import (
     session_stats,
@@ -90,6 +92,10 @@ def main():
         "funnel_reach": lambda: _drain(funnel_reach(ev, STEPS)),
         "distinct_1m_plus_1h_cascade": lambda: _drain(
             distinct_cascade(distinct_rollup(ev, "1m"), "1h")
+        ),
+        "cohort_retention": lambda: _drain(cohort_retention(ev)),
+        "rolling_mau_30d": lambda: _drain(
+            rolling_distinct(distinct_rollup(ev, "1d"), 30)
         ),
     }
     for fn in ops.values():
