@@ -102,3 +102,38 @@ def session_stats(
         .agg(*aggs)
         .drop("w")
     )
+
+
+def transition_matrix(
+    events: DataFrame,
+    gap_sec: float | None = None,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreaker_col: str | None = "event_id",
+) -> DataFrame:
+    """Event-type bigram counts and next-step probabilities.
+
+    ``gap_sec`` given → transitions are counted WITHIN sessions only
+    (the lag partitions by (key, session_id) from ``sessionize``, so a
+    session break never produces a phantom transition); ``None`` →
+    per-key across the whole history. Output: (prev_type, next_type,
+    cnt, prob) with prob normalized per prev_type — the empirical Markov
+    matrix of the event stream.
+
+    Same single wide shuffle as ``sessionize`` (the pairs aggregation
+    re-shuffles only bigram rows, a vocabulary-sized table).
+    """
+    order = [ts_col] + ([tiebreaker_col] if tiebreaker_col else [])
+    if gap_sec is not None:
+        labeled = sessionize(events, gap_sec, key_col, ts_col, tiebreaker_col)
+        w = Window.partitionBy(key_col, "session_id").orderBy(*order)
+    else:
+        labeled = events
+        w = Window.partitionBy(key_col).orderBy(*order)
+    pairs = labeled.select(
+        F.lag(type_col).over(w).alias("prev_type"), F.col(type_col).alias("next_type")
+    ).filter(F.col("prev_type").isNotNull())
+    counts = pairs.groupBy("prev_type", "next_type").agg(F.count(F.lit(1)).alias("cnt"))
+    total = Window.partitionBy("prev_type")
+    return counts.withColumn("prob", F.col("cnt") / F.sum("cnt").over(total))

@@ -132,3 +132,52 @@ def test_single_shuffle_plan(spark, events):
 
     assert len(re.findall(r"^\s*[+\-:* ]*Exchange\b", plan, re.M)) == 1
     assert "Python" not in plan and "MapInPandas" not in plan  # pure JVM
+
+
+def test_transition_matrix_matches_duckdb(spark, events):
+    """Whole-history transitions vs an independent DuckDB lag query."""
+    from series_correction_project_updated_spark.operators.sessionize import transition_matrix
+
+    got = sorted(
+        (r.prev_type, r.next_type, r.cnt, round(r.prob, 9))
+        for r in transition_matrix(events).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"create view ev as select * from read_parquet('{SF}/events.parquet')")
+    want = sorted(
+        (p, n, c, round(pr, 9))
+        for p, n, c, pr in con.execute(
+            """
+            with lagged as (
+              select lag(event_type) over (partition by user_id order by ts, event_id) prev_type,
+                     event_type next_type
+              from ev
+            ), counts as (
+              select prev_type, next_type, count(*) cnt from lagged
+              where prev_type is not null group by 1, 2
+            )
+            select prev_type, next_type, cnt,
+                   cnt / (sum(cnt) over (partition by prev_type)) prob
+            from counts
+            """
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_transition_matrix_session_scoped_drops_cross_session_pairs(spark):
+    from series_correction_project_updated_spark.operators.sessionize import transition_matrix
+
+    rows = [
+        (1, 0.0, 1, "a"),
+        (1, 10.0, 2, "b"),      # a->b within session
+        (1, 10_000.0, 3, "c"),  # new session: b->c must NOT count
+        (1, 10_010.0, 4, "a"),  # c->a within session
+    ]
+    df = spark.createDataFrame(rows, "user_id long, t double, event_id long, event_type string").select(
+        "user_id", F.timestamp_seconds("t").alias("ts"), "event_id", "event_type"
+    )
+    scoped = {(r.prev_type, r.next_type): r.cnt for r in transition_matrix(df, gap_sec=GAP).collect()}
+    assert scoped == {("a", "b"): 1, ("c", "a"): 1}
+    full = {(r.prev_type, r.next_type): r.cnt for r in transition_matrix(df).collect()}
+    assert full == {("a", "b"): 1, ("b", "c"): 1, ("c", "a"): 1}
