@@ -1,0 +1,384 @@
+"""Mergeable quantile-digest tiers (continuous percentile aggregates).
+
+The numeric rollup tiers carry cnt/sum/min/max because those re-aggregate
+upward exactly; the distinct tier stores HLL sketches because distinct
+counts don't. PERCENTILES are the third member of that family: a p95 per 1m
+bucket cannot produce the 1h p95, so continuous-aggregate systems
+(TimescaleDB ``percentile_agg``, Druid/Pinot quantile sketches) store a
+mergeable quantile digest per bucket. Spark exposes no mergeable quantile
+sketch column (``percentile_approx`` returns only the number), so this
+module implements one with the engine's standard split:
+
+- grouping/flatten/min/max/count run JVM-side (one hash aggregate, one
+  shuffle per tier),
+- per-bucket digest compression and quantile evaluation run in
+  ``mapInPandas`` passes that are vectorized ACROSS rows with a
+  flat-array + offsets layout (one ``np.lexsort`` / ``np.bincount`` /
+  ``np.interp`` call per Arrow batch — no per-row Python loop, per the
+  input_hint's "vectorized pandas/Arrow UDFs (no per-row Python)").
+
+Digest = up to ``k`` (mean, weight) centroids over the sorted values plus
+exact (n, vmin, vmax). Compression is deterministic (sort by (value,
+weight); exact-equal values tie-merge first; equal-cumulative-weight
+binning only if still over ``k``), so digests are reproducible across
+partitionings and collect order — pinned by tests. Laws:
+
+    n <= k                 -> digest IS the sorted sample; quantile
+                              estimates EXACTLY equal numpy/DuckDB
+                              ``quantile_cont`` (linear interpolation)
+    every bucket fits in k -> quantile_cascade(quantile_rollup(raw, 1m))
+                              == quantile_rollup(raw, 1h)  (bit-equal)
+    n > k                  -> rank error of any estimate is O(1/k): the
+                              estimate interpolates between adjacent
+                              equal-weight(ish) bin centroids, each
+                              holding ~n/k ranks (tests pin <= 3/k per
+                              level with a cascade allowance)
+
+Scale shape: ``collect_list`` per (key, 1m bucket) is bounded by the
+sampling interval (same boundedness the streaming state relies on); build
+coarser tiers via ``quantile_cascade`` from 1m — it touches only digests
+(<= k doubles per bucket), never raw points. Any-window percentiles
+(whole-series, trailing-N-bucket) re-merge stored digests with the same
+law, no raw re-scan. State per bucket is <= 2k doubles + 3 scalars.
+
+No reference counterpart; extends the rollup/retention tier family
+(storage-layout compatible: same epoch-seconds ``bucket_start``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schema import TIER_SECONDS
+
+DEFAULT_K = 64
+
+
+def _bucket(time_col: str, sec: int):
+    # via ltz: NTZ timestamps can't cast straight to double; numeric epoch
+    # columns round-trip unchanged (session tz pinned UTC)
+    t = F.col(time_col).cast("timestamp_ltz").cast("double")
+    return (F.floor(t / sec) * sec).cast("long")
+
+
+# ---------------------------------------------------------------- kernels
+
+
+def _compress_scalar(v: np.ndarray, w: np.ndarray, k: int):
+    """Reference single-digest compression (cross-checked vs the flat
+    vectorized path by tests). Returns (means, weights), deterministic."""
+    order = np.lexsort((w, v))
+    v, w = v[order], w[order]
+    if len(v) <= k:
+        return v, w
+    # exact-equal values merge losslessly (weighted mean == the value)
+    b = np.ones(len(v), dtype=bool)
+    b[1:] = v[1:] != v[:-1]
+    seg = np.cumsum(b) - 1
+    mw = np.bincount(seg, weights=w)
+    mv = np.bincount(seg, weights=w * v) / mw
+    v, w = mv, mw
+    if len(v) <= k:
+        return v, w
+    tot = w.sum()
+    mid = np.cumsum(w) - w / 2.0
+    idx = np.minimum((mid / tot * k).astype(np.int64), k - 1)
+    bw = np.bincount(idx, weights=w, minlength=k)
+    bv = np.bincount(idx, weights=w * v, minlength=k)
+    nz = bw > 0
+    return bv[nz] / bw[nz], bw[nz]
+
+
+def _compress_flat(flat_v: np.ndarray, flat_w: np.ndarray, lengths: np.ndarray, k: int):
+    """Compress R digests at once. ``flat_v``/``flat_w`` hold the rows'
+    centroids back to back (``lengths[r]`` each). Returns (means_list,
+    weights_list): per-row float64 arrays, == _compress_scalar per row.
+
+    Vectorized across rows: one lexsort keyed by (row, value, weight),
+    one bincount pass for the tie-merge, one for the binning.
+    """
+    R = len(lengths)
+    if R == 0:
+        return [], []
+    total = int(lengths.sum())
+    rows = np.repeat(np.arange(R, dtype=np.int64), lengths)
+    order = np.lexsort((flat_w, flat_v, rows))
+    v, w, rows = flat_v[order], flat_w[order], rows[order]
+
+    small = lengths <= k
+    if small.all():
+        cut = np.cumsum(lengths)[:-1]
+        return np.split(v, cut), np.split(w, cut)
+
+    # --- tie-merge exact-equal (row, value) runs (all rows; lossless)
+    b = np.ones(total, dtype=bool)
+    b[1:] = (v[1:] != v[:-1]) | (rows[1:] != rows[:-1])
+    seg = np.cumsum(b) - 1
+    mw = np.bincount(seg, weights=w)
+    mv = np.bincount(seg, weights=w * v) / mw
+    mrows = rows[b]
+    mlen = np.bincount(mrows, minlength=R).astype(np.int64)
+
+    # rows still over budget get equal-cumulative-weight binning
+    big = mlen > k
+    out_v: list = [None] * R
+    out_w: list = [None] * R
+
+    keep = ~big[mrows] & ~small[mrows]
+    if keep.any():
+        kv, kw, kr = mv[keep], mw[keep], mrows[keep]
+        klen = np.bincount(kr, minlength=R)[~big & ~small]
+        cut = np.cumsum(klen)[:-1]
+        for r, vv, ww in zip(np.flatnonzero(~big & ~small), np.split(kv, cut), np.split(kw, cut)):
+            out_v[r], out_w[r] = vv, ww
+
+    if small.any():
+        # small rows bypass the tie-merge: the raw sorted sample IS the
+        # digest (keeps the n<=k exactness law; ties stay unit-weight)
+        smask = small[rows]
+        sv, sw, sr = v[smask], w[smask], rows[smask]
+        slen = lengths[small]
+        cut = np.cumsum(slen)[:-1]
+        for r, vv, ww in zip(np.flatnonzero(small), np.split(sv, cut), np.split(sw, cut)):
+            out_v[r], out_w[r] = vv, ww
+
+    if big.any():
+        bmask = big[mrows]
+        bv_, bw_, br_ = mv[bmask], mw[bmask], mrows[bmask]
+        # per-row cumulative weight via global cumsum minus row bases
+        blen = np.bincount(br_, minlength=R)[big]
+        cw = np.cumsum(bw_)
+        ends = np.cumsum(blen)
+        base = np.repeat(np.concatenate(([0.0], cw[ends[:-1] - 1])), blen)
+        tot = np.repeat(cw[ends - 1] - np.concatenate(([0.0], cw[ends[:-1] - 1])), blen)
+        mid = cw - base - bw_ / 2.0
+        idx = np.minimum((mid / tot * k).astype(np.int64), k - 1)
+        # dense row-within-big index for the bincount key
+        dense = np.cumsum(big) - 1
+        gbin = dense[br_] * k + idx
+        nbig = int(big.sum())
+        gw = np.bincount(gbin, weights=bw_, minlength=nbig * k)
+        gv = np.bincount(gbin, weights=bw_ * bv_, minlength=nbig * k)
+        gw = gw.reshape(nbig, k)
+        gv = gv.reshape(nbig, k)
+        for j, r in enumerate(np.flatnonzero(big)):
+            nz = gw[j] > 0
+            out_v[r] = gv[j][nz] / gw[j][nz]
+            out_w[r] = gw[j][nz]
+
+    return out_v, out_w
+
+
+def _quantiles_flat(
+    flat_v: np.ndarray,
+    flat_w: np.ndarray,
+    lengths: np.ndarray,
+    n: np.ndarray,
+    vmin: np.ndarray,
+    vmax: np.ndarray,
+    qs: np.ndarray,
+) -> np.ndarray:
+    """Evaluate ``qs`` on R digests at once -> (R, len(qs)) float64.
+
+    Centroid ``i`` sits at average 0-indexed rank ``cumw_i - (w_i+1)/2``;
+    with exact (0, vmin) / (n-1, vmax) sentinels and linear interpolation
+    the unit-weight case reproduces numpy's ``quantile(..., 'linear')``
+    exactly. Vectorized: rows are laid out on a shared axis at stride >
+    max(n) and one ``np.interp`` evaluates every (row, q) pair.
+    """
+    R = len(lengths)
+    if R == 0:
+        return np.empty((0, len(qs)))
+    total = int(lengths.sum())
+    rows = np.repeat(np.arange(R, dtype=np.int64), lengths)
+    cw = np.cumsum(flat_w)
+    ends = np.cumsum(lengths)
+    base = np.repeat(np.concatenate(([0.0], cw[ends[:-1] - 1])), lengths)
+    x = (cw - base) - (flat_w + 1.0) / 2.0
+
+    # sentinel-extended layout: every row gains (0, vmin) and (n-1, vmax)
+    noff = np.concatenate(([0], ends)) + 2 * np.arange(R + 1)
+    X = np.empty(total + 2 * R)
+    V = np.empty(total + 2 * R)
+    pos = np.arange(total) + np.repeat(2 * np.arange(R) + 1, lengths)
+    X[pos], V[pos] = x, flat_v
+    X[noff[:-1]], V[noff[:-1]] = 0.0, vmin
+    X[noff[1:] - 1], V[noff[1:] - 1] = n - 1.0, vmax
+
+    stride = float(2 ** int(np.ceil(np.log2(max(n.max(), 2.0) + 2.0))))
+    G = X + np.repeat(np.arange(R) * stride, lengths + 2)
+    keep = np.ones(len(G), dtype=bool)
+    keep[1:] = np.diff(G) > 0
+    targets = (np.arange(R)[:, None] * stride + qs[None, :] * (n[:, None] - 1.0)).ravel()
+    return np.interp(targets, G[keep], V[keep]).reshape(R, len(qs))
+
+
+# ------------------------------------------------------------- operators
+
+_DIGEST_FIELDS = [
+    T.StructField("n", T.LongType()),
+    T.StructField("vmin", T.DoubleType()),
+    T.StructField("vmax", T.DoubleType()),
+    T.StructField("qmeans", T.ArrayType(T.DoubleType())),
+    T.StructField("qweights", T.ArrayType(T.DoubleType())),
+]
+
+
+def _flatten_col(col: pd.Series):
+    """pd.Series of list/array -> (flat float64, lengths int64)."""
+    arrs = [np.asarray(a, dtype=np.float64) for a in col]
+    lengths = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
+    flat = np.concatenate(arrs) if arrs else np.empty(0)
+    return flat, lengths
+
+
+def _compress_pass(grouped: DataFrame, key_cols: list[str], k: int, weighted: bool) -> DataFrame:
+    """mapInPandas stage: (keys..., _vals[, _wts], n, vmin, vmax) ->
+    digest rows. No shuffle — runs on the aggregate's output partitioning."""
+    out_schema = T.StructType(
+        [grouped.schema[c] for c in key_cols] + list(_DIGEST_FIELDS)
+    )
+    out_cols = key_cols + ["n", "vmin", "vmax", "qmeans", "qweights"]
+
+    def _run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            flat_v, lengths = _flatten_col(pdf["_vals"])
+            if weighted:
+                flat_w, _ = _flatten_col(pdf["_wts"])
+            else:
+                flat_w = np.ones(len(flat_v))
+            means, weights = _compress_flat(flat_v, flat_w, lengths, k)
+            out = pdf[key_cols].copy()
+            out["n"] = pdf["n"].astype("int64")
+            out["vmin"] = pdf["vmin"].astype("float64")
+            out["vmax"] = pdf["vmax"].astype("float64")
+            out["qmeans"] = means
+            out["qweights"] = weights
+            yield out[out_cols]
+
+    return grouped.mapInPandas(_run, schema=out_schema)
+
+
+def quantile_rollup(
+    points: DataFrame,
+    tier: str = "1m",
+    k: int = DEFAULT_K,
+    key_col: str = "series_key",
+    time_col: str = "t",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-(key, bucket) quantile digest over raw points. One hash
+    aggregate (count/min/max combine map-side; the value list is bounded
+    by points-per-bucket — build coarse tiers via ``quantile_cascade``,
+    not direct rollups over huge buckets). Nulls are excluded, matching
+    SQL ``quantile_cont``."""
+    sec = TIER_SECONDS[tier]
+    v = F.col(value_col)
+    grouped = (
+        points.where(v.isNotNull())
+        .groupBy(F.col(key_col), _bucket(time_col, sec).alias("bucket_start"))
+        .agg(
+            F.collect_list(v.cast("double")).alias("_vals"),
+            F.count(v).alias("n"),
+            F.min(v.cast("double")).alias("vmin"),
+            F.max(v.cast("double")).alias("vmax"),
+        )
+    )
+    return _compress_pass(grouped, [key_col, "bucket_start"], k, weighted=False)
+
+
+def quantile_cascade(
+    fine: DataFrame,
+    to_tier: str,
+    k: int = DEFAULT_K,
+    key_col: str = "series_key",
+) -> DataFrame:
+    """Merge a finer digest tier into a coarser one — touches only
+    digests (<= 2k doubles per fine bucket), never raw points. While
+    every coarse bucket's total n stays <= k this is BIT-equal to the
+    direct rollup; beyond that each level adds O(1/k) rank error."""
+    sec = TIER_SECONDS[to_tier]
+    grouped = (
+        fine.groupBy(
+            F.col(key_col), _bucket("bucket_start", sec).alias("bucket_start")
+        )
+        .agg(
+            F.flatten(F.collect_list("qmeans")).alias("_vals"),
+            F.flatten(F.collect_list("qweights")).alias("_wts"),
+            F.sum("n").alias("n"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+        )
+    )
+    return _compress_pass(grouped, [key_col, "bucket_start"], k, weighted=True)
+
+
+def series_quantiles(
+    tier: DataFrame,
+    qs: list[float],
+    k: int = DEFAULT_K,
+    key_col: str = "series_key",
+) -> DataFrame:
+    """Whole-series percentiles from a STORED digest tier (any window
+    reduces the same way: filter buckets first, then merge) — the
+    percentile analog of ``rolling_distinct``'s no-raw-re-scan payoff."""
+    grouped = (
+        tier.groupBy(F.col(key_col))
+        .agg(
+            F.flatten(F.collect_list("qmeans")).alias("_vals"),
+            F.flatten(F.collect_list("qweights")).alias("_wts"),
+            F.sum("n").alias("n"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+        )
+    )
+    merged = _compress_pass(grouped, [key_col], k, weighted=True)
+    return digest_quantiles(merged, qs)
+
+
+def digest_quantiles(
+    tier: DataFrame, qs: list[float], prefix: str = "p"
+) -> DataFrame:
+    """Evaluate percentiles on every digest row. Adds one double column
+    per q (``p50``/``p95``/``p999``-style names); drops the centroid
+    arrays. Pure mapInPandas pass, vectorized across rows — no shuffle."""
+    qarr = np.asarray(sorted(set(qs)), dtype=np.float64)
+    if len(qarr) == 0 or qarr[0] < 0.0 or qarr[-1] > 1.0:
+        raise ValueError(f"qs must be within [0, 1], got {qs}")
+    names = []
+    for q in qarr:
+        s = format(q * 100, "g").replace(".", "_")
+        names.append(f"{prefix}{s}")
+    keep_cols = [c for c in tier.columns if c not in ("qmeans", "qweights")]
+    out_schema = T.StructType(
+        [tier.schema[c] for c in keep_cols]
+        + [T.StructField(nm, T.DoubleType()) for nm in names]
+    )
+
+    def _run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            flat_v, lengths = _flatten_col(pdf["qmeans"])
+            flat_w, _ = _flatten_col(pdf["qweights"])
+            est = _quantiles_flat(
+                flat_v,
+                flat_w,
+                lengths,
+                pdf["n"].to_numpy(dtype=np.float64),
+                pdf["vmin"].to_numpy(dtype=np.float64),
+                pdf["vmax"].to_numpy(dtype=np.float64),
+                qarr,
+            )
+            out = pdf[keep_cols].copy()
+            for j, nm in enumerate(names):
+                out[nm] = est[:, j]
+            yield out
+
+    return tier.mapInPandas(_run, schema=out_schema)
