@@ -976,15 +976,21 @@ FROM documents GROUP BY lang, source, n_chars HAVING count(*) > 1 ORDER BY rep_d
 
 
 def q_token_count(spark, sf_dir):
-    """Whitespace token counting per language (text-analysis op)."""
+    """Token counting per language, both tokenizers in one pass:
+    whitespace tokens and BPE-ish regex tokens (letter runs / digits /
+    single punctuation) — merged from the former separate q_token_bpe
+    entry to stay inside the driver's 50-entry artifact cap."""
     docs = load(spark, sf_dir, "documents")
     tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    bpe = F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0))
     return (
         docs.groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum(tokens).alias("total_tokens"),
             F.round(F.avg(tokens), 6).alias("avg_tokens"),
+            F.sum(bpe).alias("total_bpe_tokens"),
+            F.round(F.avg(bpe), 6).alias("avg_bpe_tokens"),
         )
         .orderBy("lang")
     )
@@ -993,7 +999,9 @@ def q_token_count(spark, sf_dir):
 SQL_TOKEN_COUNT = r"""
 SELECT lang, count(*) AS n_docs,
        CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
-       round(avg(len(string_split_regex(trim(text), '\s+'))), 6) AS avg_tokens
+       round(avg(len(string_split_regex(trim(text), '\s+'))), 6) AS avg_tokens,
+       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_bpe_tokens,
+       round(avg(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))), 6) AS avg_bpe_tokens
 FROM documents GROUP BY lang ORDER BY lang
 """
 
@@ -1373,27 +1381,42 @@ GROUP BY n_name ORDER BY n_name
 """
 
 
-def q_token_bpe(spark, sf_dir):
-    """BPE-ish regex tokenization (letters runs / digit runs / single
-    punctuation) — the sub-word-ish counterpart to whitespace q_token_count."""
-    docs = load(spark, sf_dir, "documents")
-    toks = F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0))
-    return (
-        docs.groupBy("lang")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum(toks).alias("total_bpe_tokens"),
-            F.round(F.avg(toks), 6).alias("avg_bpe_tokens"),
-        )
-        .orderBy("lang")
-    )
+def q_quantile_tier(spark, sf_dir):
+    """Mergeable quantile-digest tier (operators/quantile): per-user 1h
+    digests cascaded to 1d, percentiles evaluated from the DIGESTS. At
+    sf0.01 every (user, day) bucket holds <= 64 values, so the digests
+    are exact sorted samples and the estimates must hash-match DuckDB's
+    ``quantile_cont`` (linear interpolation) — the n<=k exactness law,
+    driver-checked; the n>k compression path is pytest-pinned
+    (tests/test_quantile.py)."""
+    from .operators.quantile import digest_quantiles, quantile_cascade, quantile_rollup
+
+    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    t1h = quantile_rollup(ev, "1h", key_col="user_id", time_col="ts", value_col="value")
+    out = digest_quantiles(quantile_cascade(t1h, "1d", key_col="user_id"), [0.25, 0.5, 0.95])
+    return out.select(
+        "user_id",
+        "bucket_start",
+        "n",
+        F.round("vmin", 6).alias("vmin"),
+        F.round("vmax", 6).alias("vmax"),
+        F.round("p25", 6).alias("p25"),
+        F.round("p50", 6).alias("p50"),
+        F.round("p95", 6).alias("p95"),
+    ).orderBy("user_id", "bucket_start")
 
 
-SQL_TOKEN_BPE = r"""
-SELECT lang, count(*) AS n_docs,
-       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_bpe_tokens,
-       round(avg(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))), 6) AS avg_bpe_tokens
-FROM documents GROUP BY lang ORDER BY lang
+SQL_QUANTILE_TIER = """
+SELECT user_id,
+       CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS bucket_start,
+       count(*) AS n,
+       round(min(value), 6) AS vmin,
+       round(max(value), 6) AS vmax,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.50), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95
+FROM events WHERE value IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
@@ -2221,7 +2244,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q_formula_escape": (q_formula_escape, SQL_FORMULA_ESCAPE),
     "q14_promo_revenue": (q14_promo_revenue, SQL_Q14),
     "q_supplier_revenue": (q_supplier_revenue, SQL_SUPPLIER_REVENUE),
-    "q_token_bpe": (q_token_bpe, SQL_TOKEN_BPE),
+    "q_quantile_tier": (q_quantile_tier, SQL_QUANTILE_TIER),
     "q_quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
     # rows-only (non-SQL-expressible; parity via pytest instead)
     "q_correct_series": (q_correct_series, None),
