@@ -1,0 +1,116 @@
+"""Throughput of the quantile-digest and counter tiers at 10M points.
+
+Same protocol as event_bench.py (probe-bracketed, min-of-reps,
+noop-drained) on a deterministic 10M-point series table (10k series x
+1k points, hot key at 8x): per-op seconds + points/sec for
+
+  quantile_1m+1h     digest rollup + raw-free cascade (k=64)
+  quantile_eval      p50/p95/p99 evaluated from the 1h digests
+  counter_1m+1h      counter rollup + exactly-merging cascade
+  counter_direct_1h  direct 1h rollup (cascade-vs-direct cost check)
+
+Usage: python BENCH/tier_bench.py [n_series] [pts_per_series] [reps]
+Prints one JSON line.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+from bench import MIN_PROBE_IPS, _cpu_probe, _drain
+from series_correction_project_updated_spark.operators.counters import (
+    counter_cascade,
+    counter_rollup,
+)
+from series_correction_project_updated_spark.operators.quantile import (
+    digest_quantiles,
+    quantile_cascade,
+    quantile_rollup,
+)
+from series_correction_project_updated_spark.session import get_spark
+
+
+def synth_points(spark, n_series: int, pts: int):
+    total = n_series * pts
+    df = spark.range(0, total, 1, numPartitions=32).select(
+        (F.col("id") % n_series).cast("string").alias("series_key"),
+        (F.col("id") / n_series).cast("long").alias("i"),
+    )
+    hot = spark.range(0, pts * 7).select(
+        F.lit("0").alias("series_key"),
+        (F.col("id") + pts).cast("long").alias("i"),
+    )
+    df = df.unionByName(hot)
+    h = F.abs(F.xxhash64("series_key", "i"))
+    return df.select(
+        "series_key",
+        (1_700_000_000.0 + F.col("i") * 7.0).alias("t"),
+        # counter-ish: mostly growing with occasional resets via modulo
+        ((h % 1000).cast("double") + F.col("i") * 3.0 % 50000).alias("value"),
+    )
+
+
+def main():
+    n_series = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
+    pts = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    spark = get_spark(master="local[8]", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    s = synth_points(spark, n_series, pts).cache()
+    n = s.count()
+    t1m_q = quantile_rollup(s, "1m", k=64).cache()
+    t1m_q.count()
+    t1m_c = counter_rollup(s, "1m").cache()
+    t1m_c.count()
+
+    ops = {
+        "quantile_rollup_1m": lambda: _drain(quantile_rollup(s, "1m", k=64)),
+        "quantile_cascade_1h": lambda: _drain(quantile_cascade(t1m_q, "1h", k=64)),
+        "quantile_eval_p50_p95_p99": lambda: _drain(
+            digest_quantiles(t1m_q, [0.5, 0.95, 0.99])
+        ),
+        "counter_rollup_1m": lambda: _drain(counter_rollup(s, "1m")),
+        "counter_cascade_1h": lambda: _drain(counter_cascade(t1m_c, "1h")),
+        "counter_direct_1h": lambda: _drain(counter_rollup(s, "1h")),
+    }
+    for fn in ops.values():
+        fn()  # warm
+
+    p_before = _cpu_probe()
+    results = {}
+    for name, fn in ops.items():
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            times.append(round(time.perf_counter() - t0, 3))
+        results[name] = {
+            "sec": min(times),
+            "reps": times,
+            "points_per_sec": round(n / min(times)),
+        }
+    p_after = _cpu_probe()
+
+    print(
+        json.dumps(
+            {
+                "metric": "tier_ops_throughput_10M",
+                "points": n,
+                "series": n_series,
+                "ops": results,
+                "probe_before_ips": p_before,
+                "probe_after_ips": p_after,
+                "clean": min(p_before, p_after) >= MIN_PROBE_IPS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
