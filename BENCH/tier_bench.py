@@ -63,37 +63,49 @@ def main():
 
     s = synth_points(spark, n_series, pts).cache()
     n = s.count()
-    t1m_q = quantile_rollup(s, "1m", k=64).cache()
-    t1m_q.count()
-    t1m_c = counter_rollup(s, "1m").cache()
-    t1m_c.count()
 
-    ops = {
+    # PHASE 1 — raw-scan rollups, timed while NO tier cache exists: the
+    # cache manager matches plan-identical subtrees, so a cached 1m tier
+    # would silently serve these ops from memory (caught: 0.23s "rollup"
+    # over 10M points vs the real ~6.5s)
+    phase1 = {
         "quantile_rollup_1m": lambda: _drain(quantile_rollup(s, "1m", k=64)),
+        "counter_rollup_1m": lambda: _drain(counter_rollup(s, "1m")),
+        "counter_direct_1h": lambda: _drain(counter_rollup(s, "1h")),
+    }
+    # PHASE 2 — tier-input ops, fed from cached 1m tiers (the intended
+    # shape: cascades/eval read stored tiers, never raw)
+    t1m_q = quantile_rollup(s, "1m", k=64)
+    t1m_c = counter_rollup(s, "1m")
+    phase2 = {
         "quantile_cascade_1h": lambda: _drain(quantile_cascade(t1m_q, "1h", k=64)),
         "quantile_eval_p50_p95_p99": lambda: _drain(
             digest_quantiles(t1m_q, [0.5, 0.95, 0.99])
         ),
-        "counter_rollup_1m": lambda: _drain(counter_rollup(s, "1m")),
         "counter_cascade_1h": lambda: _drain(counter_cascade(t1m_c, "1h")),
-        "counter_direct_1h": lambda: _drain(counter_rollup(s, "1h")),
     }
-    for fn in ops.values():
-        fn()  # warm
+
+    def _time(ops, results):
+        for fn in ops.values():
+            fn()  # warm
+        for name, fn in ops.items():
+            times = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                fn()
+                times.append(round(time.perf_counter() - t0, 3))
+            results[name] = {
+                "sec": min(times),
+                "reps": times,
+                "points_per_sec": round(n / min(times)),
+            }
 
     p_before = _cpu_probe()
-    results = {}
-    for name, fn in ops.items():
-        times = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            fn()
-            times.append(round(time.perf_counter() - t0, 3))
-        results[name] = {
-            "sec": min(times),
-            "reps": times,
-            "points_per_sec": round(n / min(times)),
-        }
+    results: dict = {}
+    _time(phase1, results)
+    t1m_q.cache().count()
+    t1m_c.cache().count()
+    _time(phase2, results)
     p_after = _cpu_probe()
 
     print(
