@@ -96,6 +96,14 @@ AUDIT = {
         ("NO Python in plan (union + running-first window)", "NO_PYTHON"),
         ("no join operator at all - window shape", r"(?s)^(?!.*(SortMergeJoin|CartesianProduct))"),
     ],
+    "q_quantile_tier": [
+        # digest tier: JVM hash agg feeds Arrow compression; cascade and
+        # evaluation are further mapInPandas passes with no own shuffle
+        ("Arrow-batched digest compress/eval (mapInPandas)", r"MapInPandas"),
+        ("events scan prunes to ts/user_id/value (no props)", r"(?s)^(?!.*ReadSchema: [^\n]*props)"),
+        ("3 exchanges: rollup agg + cascade agg + final sort", "EXCHANGES_3"),
+        ("map-side partial aggregation before the rollup exchange", r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate"),
+    ],
     "q_compress_roundtrip": [
         ("Arrow-batched codec both ways (mapInPandas x2)", r"MapInPandas"),
         # 1m agg + compress repartition + final orderBy = 3; the DECODE
@@ -201,9 +209,33 @@ def _ingest_dedup(spark):
     return dedup_points(pts.unionByName(pts.sample(0.3, seed=1)))
 
 
+def _counter_tier(spark):
+    """Non-registry extra: counter increase/rate tier — one raw-point
+    shuffle, a JVM higher-order fold (no Python anywhere), and a lag
+    window over TIER rows only."""
+    from pyspark.sql import functions as F
+
+    from series_correction_project_updated_spark.operators.counters import counter_rollup
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        F.col("user_id").cast("string").alias("series_key"),
+        F.col("ts").cast("timestamp_ltz").cast("double").alias("t"),
+        "value",
+    )
+    return counter_rollup(ev, "1m")
+
+
 # plans audited OUTSIDE the 50-entry driver registry (operator surface
 # with no registry slot); fn(spark) -> DataFrame
 EXTRA_AUDIT = {
+    "counter_rollup tier (non-registry)": (
+        _counter_tier,
+        [
+            ("NO Python in plan (JVM higher-order fold)", "NO_PYTHON"),
+            ("2 exchanges: raw agg + tier-row boundary window", "EXCHANGES_2"),
+            ("no join operator anywhere", r"(?s)^(?!.*(SortMergeJoin|BroadcastHashJoin|CartesianProduct))"),
+        ],
+    ),
     "bucketed-store kernel (non-registry)": (
         _bucketed_kernel,
         [

@@ -210,6 +210,26 @@ def _quantiles_flat(
     X[noff[1:] - 1], V[noff[1:] - 1] = n - 1.0, vmax
 
     stride = float(2 ** int(np.ceil(np.log2(max(n.max(), 2.0) + 2.0))))
+    # shared-axis coordinates must stay exactly representable: row_id *
+    # stride + x with x carrying .5 fractions needs row_id * stride <=
+    # 2^52. Huge-n digests (stride ~ n) with many rows per batch could
+    # breach that, so recurse on row halves (each call halves R; Arrow
+    # batches bound R at ~10k, so this is dormant until n ~ 2^38/bucket)
+    if R * stride > 2.0**52 and R > 1:
+        half = R // 2
+        cut = int(lengths[:half].sum())
+        return np.vstack(
+            [
+                _quantiles_flat(
+                    flat_v[:cut], flat_w[:cut], lengths[:half],
+                    n[:half], vmin[:half], vmax[:half], qs,
+                ),
+                _quantiles_flat(
+                    flat_v[cut:], flat_w[cut:], lengths[half:],
+                    n[half:], vmin[half:], vmax[half:], qs,
+                ),
+            ]
+        )
     G = X + np.repeat(np.arange(R) * stride, lengths + 2)
     keep = np.ones(len(G), dtype=bool)
     keep[1:] = np.diff(G) > 0

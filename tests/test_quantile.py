@@ -102,6 +102,31 @@ def test_rank_error_bound_large_n():
             assert abs(rank - q) <= 3.0 / k, (dist, q, rank)
 
 
+def test_huge_n_precision_guard_recurses_correctly():
+    """Digests with enormous n (stride ~ n) across many rows trip the
+    2^52 shared-axis guard; the recursive halves must agree with per-row
+    evaluation exactly."""
+    rng = np.random.default_rng(17)
+    R = 200
+    big_n = float(2**45)
+    rows_v = [np.sort(rng.normal(0, 1, 32)) for _ in range(R)]
+    rows_w = [np.full(32, big_n / 32) for _ in range(R)]
+    lengths = np.full(R, 32, dtype=np.int64)
+    n = np.full(R, big_n)
+    vmin = np.array([v[0] - 1 for v in rows_v])
+    vmax = np.array([v[-1] + 1 for v in rows_v])
+    qs = np.array([0.1, 0.5, 0.9])
+    allr = _quantiles_flat(
+        np.concatenate(rows_v), np.concatenate(rows_w), lengths, n, vmin, vmax, qs
+    )
+    for i in range(R):
+        one = _quantiles_flat(
+            rows_v[i], rows_w[i], lengths[i : i + 1], n[i : i + 1],
+            vmin[i : i + 1], vmax[i : i + 1], qs,
+        )[0]
+        np.testing.assert_allclose(allr[i], one, rtol=1e-12)
+
+
 # ------------------------------------------------------------- Spark tier
 
 
