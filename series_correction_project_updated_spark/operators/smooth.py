@@ -1,0 +1,143 @@
+"""Exponentially-weighted smoothing and one-step-ahead anomaly scores.
+
+EWMA is the classic streaming smoother (pandas ``ewm(adjust=False)``,
+Prometheus ``holt_winters``'s level term): ``y_i = (1-α)·y_{i-1} + α·x_i``.
+The recurrence is sequential per series, but it is LINEAR, so it
+vectorizes exactly: within a block, ``s_i = c^{i+1}·carry +
+c^i·Σ_j z_j c^{-j}`` — one ``cumsum`` per block, with the block size
+chosen so ``c^{-B}`` stays finite (the same carry-seeded block-scan
+pattern as the kernel's CUSUM). The EWM variance shares the shape: with
+the mean known, ``v_i = c·v_{i-1} + c·α·(x_i - y_{i-1})²`` is another
+linear recurrence with known inputs. Both match pandas
+``ewm(alpha, adjust=False).mean()`` / ``.var(bias=True)`` to ~1e-14
+relative (test-pinned).
+
+``ewm_z`` is the one-step-ahead standardized innovation
+``(x_i - y_{i-1}) / sqrt(v_{i-1})`` — the natural streaming anomaly
+score (how surprising is this point given the smoothed past), null
+until the variance warms up.
+
+Execution shape: the kernel's standard one-hash-repartition +
+``mapInPandas`` streaming whole partitions; per series one numpy block
+scan (no per-row Python). Null values pass through with null outputs
+and do not perturb the smoother state. Not SQL-expressible (infinite
+exponential memory), so pandas is the test oracle; the 50-entry driver
+registry is full.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+def _lin_rec_blocked(z: np.ndarray, c: float, s0: float) -> np.ndarray:
+    """s_i = c*s_{i-1} + z_i with s_{-1} = s0, exact blocked scan."""
+    n = len(z)
+    out = np.empty(n)
+    if n == 0:
+        return out
+    if c == 0.0:
+        out[:] = z
+        return out
+    # c^{-B} must stay finite: B ~ 600/-ln(c) keeps it under ~e^600
+    B = 4096 if c >= 1.0 else max(16, min(4096, int(600.0 / -np.log(c))))
+    carry = s0
+    for st in range(0, n, B):
+        blk = z[st : st + B]
+        m = len(blk)
+        ci = c ** np.arange(m, dtype=np.float64)
+        s = c * ci * carry + ci * np.cumsum(blk / ci)
+        out[st : st + m] = s
+        carry = s[-1]
+    return out
+
+
+def ewm_mean_var(x: np.ndarray, alpha: float) -> tuple[np.ndarray, np.ndarray]:
+    """(mean, biased var) per pandas ``ewm(alpha, adjust=False)``."""
+    n = len(x)
+    y = np.empty(n)
+    v = np.zeros(n)
+    if n == 0:
+        return y, v
+    c = 1.0 - alpha
+    y[0] = x[0]
+    if n > 1:
+        y[1:] = _lin_rec_blocked(alpha * x[1:], c, x[0])
+        diff = x[1:] - y[:-1]
+        v[1:] = _lin_rec_blocked(c * alpha * diff * diff, c, 0.0)
+    return y, v
+
+
+def ewma_smooth(
+    points: DataFrame,
+    alpha: float,
+    key_col: str = "series_key",
+    time_col: str = "t",
+    value_col: str = "value",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-series EWM smoothing: adds ``ewma``, ``ewm_std``, ``ewm_z``.
+
+    Rows keep their (key, t, value); null values get null outputs and
+    are invisible to the smoother state. ``ewm_z`` is null while
+    ``sqrt(v_{i-1}) < 1e-12`` (variance not warmed up / constant run).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if num_partitions is None:
+        num_partitions = points.sparkSession.sparkContext.defaultParallelism * 2
+
+    cols = [key_col, time_col, value_col]
+    out_schema = T.StructType(
+        [points.schema[c] for c in cols]
+        + [
+            T.StructField("ewma", T.DoubleType()),
+            T.StructField("ewm_std", T.DoubleType()),
+            T.StructField("ewm_z", T.DoubleType()),
+        ]
+    )
+
+    def _run(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values([key_col, time_col])
+        vals = pdf[value_col].to_numpy(dtype=np.float64)
+        ew = np.full(len(pdf), np.nan)
+        st = np.full(len(pdf), np.nan)
+        zs = np.full(len(pdf), np.nan)
+        start = 0
+        keys = pdf[key_col].to_numpy()
+        bounds = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+        for s, e in zip(
+            np.concatenate(([0], bounds)), np.concatenate((bounds, [len(pdf)]))
+        ):
+            x = vals[s:e]
+            ok = ~np.isnan(x)
+            xi = x[ok]
+            if len(xi) == 0:
+                continue
+            y, v = ewm_mean_var(xi, alpha)
+            sd = np.sqrt(v)
+            z = np.full(len(xi), np.nan)
+            if len(xi) > 1:
+                prev_sd = sd[:-1]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    z[1:] = np.where(
+                        prev_sd >= 1e-12, (xi[1:] - y[:-1]) / prev_sd, np.nan
+                    )
+            idx = np.flatnonzero(ok) + s
+            ew[idx] = y
+            st[idx] = sd
+            zs[idx] = z
+        pdf = pdf.assign(ewma=ew, ewm_std=st, ewm_z=zs)
+        yield pdf[cols + ["ewma", "ewm_std", "ewm_z"]]
+
+    return (
+        points.select(*cols)
+        .repartition(num_partitions, key_col)
+        .mapInPandas(_run, schema=out_schema)
+    )

@@ -1,0 +1,121 @@
+"""EWM smoothing: blocked-scan kernel vs pandas ewm, Spark operator vs
+per-series pandas oracle (with nulls), partitioning invariance, spike
+anomaly score, one-shuffle plan."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from series_correction_project_updated_spark.operators.smooth import (
+    ewm_mean_var,
+    ewma_smooth,
+)
+from series_correction_project_updated_spark.sources.synth import (
+    generate_pages,
+    pages_to_series,
+)
+
+
+@pytest.mark.parametrize("alpha", [0.9, 0.5, 0.1, 0.01, 0.001])
+def test_kernel_matches_pandas_ewm(alpha):
+    rng = np.random.default_rng(5)
+    x = rng.normal(10, 3, 5000)
+    y, v = ewm_mean_var(x, alpha)
+    s = pd.Series(x)
+    np.testing.assert_allclose(
+        y, s.ewm(alpha=alpha, adjust=False).mean().to_numpy(), rtol=1e-12
+    )
+    refv = s.ewm(alpha=alpha, adjust=False).var(bias=True).to_numpy()
+    refv[0] = 0.0
+    np.testing.assert_allclose(v, refv, rtol=1e-10, atol=1e-12)
+
+
+def test_kernel_edge_cases():
+    y, v = ewm_mean_var(np.array([7.0]), 0.3)
+    assert y[0] == 7.0 and v[0] == 0.0
+    y, v = ewm_mean_var(np.empty(0), 0.3)
+    assert len(y) == 0
+    # alpha=1: no memory — mean follows x exactly, variance 0
+    x = np.array([1.0, 5.0, 2.0])
+    y, v = ewm_mean_var(x, 1.0)
+    np.testing.assert_array_equal(y, x)
+    np.testing.assert_array_equal(v, np.zeros(3))
+
+
+@pytest.fixture(scope="module")
+def series(spark):
+    s = pages_to_series(
+        generate_pages(spark, n_urls=8, samples_per_url=200, interval_sec=60)
+    )
+    # inject nulls on a deterministic stripe
+    return s.withColumn(
+        "value", F.when(F.xxhash64("series_key", "t") % 17 == 0, None).otherwise(F.col("value"))
+    ).cache()
+
+
+def test_operator_matches_pandas_per_series(spark, series):
+    alpha = 0.2
+    got = (
+        ewma_smooth(series, alpha)
+        .toPandas()
+        .sort_values(["series_key", "t"])
+        .reset_index(drop=True)
+    )
+    raw = series.toPandas().sort_values(["series_key", "t"]).reset_index(drop=True)
+    assert len(got) == len(raw)
+    for key, grp in raw.groupby("series_key"):
+        sub = got[got["series_key"] == key].reset_index(drop=True)
+        valid = grp["value"].notna().to_numpy()
+        ref = grp.loc[valid, "value"].reset_index(drop=True)
+        em = ref.ewm(alpha=alpha, adjust=False).mean().to_numpy()
+        ev = ref.ewm(alpha=alpha, adjust=False).var(bias=True).to_numpy()
+        ev[0] = 0.0
+        np.testing.assert_allclose(sub.loc[valid, "ewma"], em, rtol=1e-10)
+        np.testing.assert_allclose(
+            sub.loc[valid, "ewm_std"], np.sqrt(ev), rtol=1e-9, atol=1e-12
+        )
+        # null-value rows carry null outputs
+        assert sub.loc[~valid, ["ewma", "ewm_std", "ewm_z"]].isna().all().all()
+
+
+def test_partitioning_invariance(spark, series):
+    a = ewma_smooth(series.repartition(3), 0.1).toPandas()
+    b = ewma_smooth(series.repartition(11, "t"), 0.1).toPandas()
+    a = a.sort_values(["series_key", "t"]).reset_index(drop=True)
+    b = b.sort_values(["series_key", "t"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_spike_scores_anomalous(spark):
+    pdf = pd.DataFrame(
+        {
+            "series_key": "s",
+            "t": np.arange(200, dtype=np.float64),
+            "value": np.sin(np.arange(200) / 9.0) * 0.5 + 10.0,
+        }
+    )
+    pdf.loc[150, "value"] = 40.0  # isolated spike
+    out = (
+        ewma_smooth(spark.createDataFrame(pdf), 0.1)
+        .toPandas()
+        .sort_values("t")
+        .reset_index(drop=True)
+    )
+    z = out["ewm_z"].to_numpy()
+    assert abs(z[150]) > 10.0
+    normal = np.abs(np.concatenate([z[20:150], z[160:]]))
+    assert np.nanmax(normal) < 5.0
+
+
+def test_bad_alpha_rejected(spark, series):
+    with pytest.raises(ValueError):
+        ewma_smooth(series, 0.0)
+    with pytest.raises(ValueError):
+        ewma_smooth(series, 1.5)
+
+
+def test_one_shuffle_plan(spark, series):
+    plan = ewma_smooth(series, 0.5)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "MapInPandas" in plan
