@@ -71,6 +71,145 @@ def ewm_mean_var(x: np.ndarray, alpha: float) -> tuple[np.ndarray, np.ndarray]:
     return y, v
 
 
+def _lin_rec_blocked_c(z: np.ndarray, c: complex, s0: complex) -> np.ndarray:
+    """Complex variant of the blocked scan (block bound from |c|)."""
+    n = len(z)
+    out = np.empty(n, dtype=complex)
+    if n == 0:
+        return out
+    if c == 0:
+        out[:] = z
+        return out
+    mag = abs(c)
+    B = 4096 if mag >= 1.0 else max(16, min(4096, int(600.0 / -np.log(mag))))
+    carry = s0
+    for st in range(0, n, B):
+        blk = z[st : st + B]
+        m = len(blk)
+        ci = c ** np.arange(m)
+        s = c * ci * carry + ci * np.cumsum(blk / ci)
+        out[st : st + m] = s
+        carry = s[-1]
+    return out
+
+
+def holt_scalar(x: np.ndarray, alpha: float, beta: float):
+    """Reference scalar Holt recurrence (l_0 = x_0, t_0 = 0) — the
+    oracle the vectorized path is property-tested against, and the
+    fallback when the transition matrix is (near-)defective."""
+    n = len(x)
+    level = np.empty(n)
+    trend = np.empty(n)
+    if n == 0:
+        return level, trend
+    level[0], trend[0] = x[0], 0.0
+    for i in range(1, n):
+        level[i] = alpha * x[i] + (1 - alpha) * (level[i - 1] + trend[i - 1])
+        trend[i] = beta * (level[i] - level[i - 1]) + (1 - beta) * trend[i - 1]
+    return level, trend
+
+
+def holt_level_trend(x: np.ndarray, alpha: float, beta: float):
+    """Holt double-exponential smoothing, vectorized.
+
+    The coupled (level, trend) update is one LINEAR state recurrence
+    ``s_i = M s_{i-1} + c x_i`` with constant 2x2 ``M``; diagonalizing
+    ``M = P D P^-1`` decouples it into two independent scalar
+    recurrences with the (generally complex-conjugate) eigenvalues —
+    each just a complex blocked scan. Stable for α∈(0,1], β∈[0,1]
+    (|λ|² = 1-α). Matches the scalar recurrence to ~1e-13 of the level
+    scale (test-pinned); falls back to the scalar loop on a (near-)
+    defective ``M`` (measure-zero parameter curve).
+    """
+    n = len(x)
+    if n <= 1:
+        return holt_scalar(x, alpha, beta)
+    M = np.array([[1 - alpha, 1 - alpha], [-alpha * beta, 1 - alpha * beta]])
+    cvec = np.array([alpha, alpha * beta])
+    lam, P = np.linalg.eig(M)
+    if abs(lam[0] - lam[1]) < 1e-6 * max(1.0, abs(lam[0])):
+        return holt_scalar(x, alpha, beta)
+    Pinv = np.linalg.inv(P)
+    g = Pinv @ cvec
+    u0 = Pinv @ np.array([x[0], 0.0])
+    xs = x[1:]
+    u = np.empty((2, n - 1), dtype=complex)
+    for k in range(2):
+        u[k] = _lin_rec_blocked_c(g[k] * xs, lam[k], u0[k])
+    s = (P @ u).real
+    return (
+        np.concatenate(([x[0]], s[0])),
+        np.concatenate(([0.0], s[1])),
+    )
+
+
+def holt_smooth(
+    points: DataFrame,
+    alpha: float,
+    beta: float,
+    key_col: str = "series_key",
+    time_col: str = "t",
+    value_col: str = "value",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-series Holt level+trend: adds ``level``, ``trend``, ``yhat``
+    (the one-step-ahead forecast ``l_{i-1} + t_{i-1}``, null on each
+    series' first point — residual ``value - yhat`` is the forecast
+    error stream). Same one-shuffle mapInPandas shape as
+    ``ewma_smooth``; null values pass through with null outputs."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if not 0.0 <= beta <= 1.0:
+        raise ValueError(f"beta must be in [0, 1], got {beta}")
+    if num_partitions is None:
+        num_partitions = points.sparkSession.sparkContext.defaultParallelism * 2
+
+    cols = [key_col, time_col, value_col]
+    out_schema = T.StructType(
+        [points.schema[c] for c in cols]
+        + [
+            T.StructField("level", T.DoubleType()),
+            T.StructField("trend", T.DoubleType()),
+            T.StructField("yhat", T.DoubleType()),
+        ]
+    )
+
+    def _run(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values([key_col, time_col])
+        vals = pdf[value_col].to_numpy(dtype=np.float64)
+        lv = np.full(len(pdf), np.nan)
+        tr = np.full(len(pdf), np.nan)
+        yh = np.full(len(pdf), np.nan)
+        keys = pdf[key_col].to_numpy()
+        bounds = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+        for s, e in zip(
+            np.concatenate(([0], bounds)), np.concatenate((bounds, [len(pdf)]))
+        ):
+            x = vals[s:e]
+            ok = ~np.isnan(x)
+            xi = x[ok]
+            if len(xi) == 0:
+                continue
+            level, trend = holt_level_trend(xi, alpha, beta)
+            fc = np.full(len(xi), np.nan)
+            fc[1:] = level[:-1] + trend[:-1]
+            idx = np.flatnonzero(ok) + s
+            lv[idx] = level
+            tr[idx] = trend
+            yh[idx] = fc
+        pdf = pdf.assign(level=lv, trend=tr, yhat=yh)
+        yield pdf[cols + ["level", "trend", "yhat"]]
+
+    return (
+        points.select(*cols)
+        .repartition(num_partitions, key_col)
+        .mapInPandas(_run, schema=out_schema)
+    )
+
+
 def ewma_smooth(
     points: DataFrame,
     alpha: float,

@@ -43,6 +43,36 @@ def test_kernel_edge_cases():
     np.testing.assert_array_equal(v, np.zeros(3))
 
 
+@pytest.mark.parametrize(
+    "alpha,beta",
+    [(0.3, 0.1), (0.5, 0.3), (0.9, 0.5), (0.05, 0.01), (0.2, 0.9), (1.0, 0.5), (0.3, 1.0)],
+)
+def test_holt_vectorized_matches_scalar(alpha, beta):
+    from series_correction_project_updated_spark.operators.smooth import (
+        holt_level_trend,
+        holt_scalar,
+    )
+
+    rng = np.random.default_rng(2)
+    x = np.cumsum(rng.normal(0.1, 1.0, 8000)) + 50
+    l1, t1 = holt_scalar(x, alpha, beta)
+    l2, t2 = holt_level_trend(x, alpha, beta)
+    scale = np.maximum(np.abs(l1), 1.0)
+    assert np.max(np.abs(l1 - l2) / scale) < 1e-10
+    assert np.max(np.abs(t1 - t2) / scale) < 1e-10
+
+
+def test_holt_linear_series_recovers_slope():
+    """On an exactly linear series the trend converges to the slope and
+    the one-step forecast to the next value (classic Holt sanity)."""
+    from series_correction_project_updated_spark.operators.smooth import holt_level_trend
+
+    x = 3.0 + 0.7 * np.arange(2000)
+    level, trend = holt_level_trend(x, 0.3, 0.1)
+    assert abs(trend[-1] - 0.7) < 1e-6
+    assert abs(level[-1] - x[-1]) < 1e-4
+
+
 @pytest.fixture(scope="module")
 def series(spark):
     s = pages_to_series(
@@ -106,6 +136,33 @@ def test_spike_scores_anomalous(spark):
     assert abs(z[150]) > 10.0
     normal = np.abs(np.concatenate([z[20:150], z[160:]]))
     assert np.nanmax(normal) < 5.0
+
+
+def test_holt_operator_matches_scalar_per_series(spark, series):
+    from series_correction_project_updated_spark.operators.smooth import (
+        holt_scalar,
+        holt_smooth,
+    )
+
+    got = (
+        holt_smooth(series, 0.4, 0.2)
+        .toPandas()
+        .sort_values(["series_key", "t"])
+        .reset_index(drop=True)
+    )
+    raw = series.toPandas().sort_values(["series_key", "t"]).reset_index(drop=True)
+    for key, grp in raw.groupby("series_key"):
+        sub = got[got["series_key"] == key].reset_index(drop=True)
+        valid = grp["value"].notna().to_numpy()
+        x = grp.loc[valid, "value"].to_numpy()
+        level, trend = holt_scalar(x, 0.4, 0.2)
+        scale = np.maximum(np.abs(level), 1.0)
+        assert np.max(np.abs(sub.loc[valid, "level"].to_numpy() - level) / scale) < 1e-10
+        assert np.max(np.abs(sub.loc[valid, "trend"].to_numpy() - trend) / scale) < 1e-10
+        yh = sub.loc[valid, "yhat"].to_numpy()
+        assert np.isnan(yh[0])
+        np.testing.assert_allclose(yh[1:], level[:-1] + trend[:-1], rtol=1e-9)
+        assert sub.loc[~valid, ["level", "trend", "yhat"]].isna().all().all()
 
 
 def test_bad_alpha_rejected(spark, series):
