@@ -178,6 +178,15 @@ def _encode_timestamps_codes(ts: np.ndarray) -> tuple[list, list]:
 
 
 def _decode_timestamps_scalar(r: _BitReader, n: int, legacy_v1: bool = False) -> np.ndarray:
+    # int64 wraparound on the running delta is part of the format (the
+    # 64-bit escape class round-trips extreme dods through two's
+    # complement; vec==scalar property tests pin it) — silence the
+    # scalar-add overflow warning rather than mask real errors elsewhere
+    with np.errstate(over="ignore"):
+        return _decode_timestamps_scalar_inner(r, n, legacy_v1)
+
+
+def _decode_timestamps_scalar_inner(r: _BitReader, n: int, legacy_v1: bool) -> np.ndarray:
     out = np.empty(n, dtype=np.int64)
     first = r.read(64)
     if first >= 1 << 63:
