@@ -68,10 +68,19 @@ def main():
     # cache manager matches plan-identical subtrees, so a cached 1m tier
     # would silently serve these ops from memory (caught: 0.23s "rollup"
     # over 10M points vs the real ~6.5s)
+    from series_correction_project_updated_spark.operators.seasonal import seasonal_decompose
+    from series_correction_project_updated_spark.operators.smooth import (
+        ewma_smooth,
+        holt_smooth,
+    )
+
     phase1 = {
         "quantile_rollup_1m": lambda: _drain(quantile_rollup(s, "1m", k=64)),
         "counter_rollup_1m": lambda: _drain(counter_rollup(s, "1m")),
         "counter_direct_1h": lambda: _drain(counter_rollup(s, "1h")),
+        "ewma_smooth": lambda: _drain(ewma_smooth(s, 0.1)),
+        "holt_smooth": lambda: _drain(holt_smooth(s, 0.3, 0.1)),
+        "seasonal_decompose_p24": lambda: _drain(seasonal_decompose(s, 24)),
     }
     # PHASE 2 — tier-input ops, fed from cached 1m tiers (the intended
     # shape: cascades/eval read stored tiers, never raw)
