@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "q_simhash_portable",
     "q_retention_1h",
     "q_quantile_tier",
+    "q_counter_tier",
     "q_downsample_m4",
     "q_asof_join",
     "q_asof_forward",

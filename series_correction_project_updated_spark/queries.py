@@ -1007,28 +1007,67 @@ FROM documents GROUP BY lang ORDER BY lang
 
 
 def q_text_quality(spark, sf_dir):
-    """Quality scoring: char/token stats per source (text-analysis op)."""
+    """Quality scoring per source, the full feature set in ONE pass:
+    char/token stats plus punctuation / uppercase / stopword ratios
+    (textops.quality_scores semantics; per-row math unrounded in both
+    engines, only aggregates rounded — merged from the former separate
+    q_quality_scores entry to free a slot inside the driver's 50-entry
+    artifact cap)."""
     docs = load(spark, sf_dir, "documents")
-    tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double")
-    chars = F.length("text").cast("double")
+    text = F.col("text")
+    words = F.split(F.trim(text), r"\s+")
+    tokens = F.size(words).cast("double")
+    chars = F.length(text).cast("double")
+    punct = F.length(F.regexp_replace(text, r"[^\p{Punct}]", "")).cast("double")
+    upper = F.length(F.regexp_replace(text, r"[^A-Z]", "")).cast("double")
+    sw = ["the", "and", "of", "to", "a", "in", "is", "that", "for", "with"]
+    sw_hits = F.size(F.filter(F.transform(words, F.lower), lambda w: w.isin(*sw))).cast("double")
     return (
-        docs.groupBy("source")
+        docs.select(
+            "source",
+            chars.alias("_chars"),
+            (chars / tokens).alias("_tok_len"),
+            (F.col("n_chars") > 250).cast("double").alias("_long"),
+            (punct / chars).alias("_pr"),
+            (upper / chars).alias("_ur"),
+            (sw_hits / tokens).alias("_sr"),
+        )
+        .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(F.avg(chars), 6).alias("avg_chars"),
-            F.round(F.avg(chars / tokens), 6).alias("avg_token_len"),
-            F.round(F.avg((F.col("n_chars") > 250).cast("double")), 6).alias("long_ratio"),
+            F.round(F.avg("_chars"), 6).alias("avg_chars"),
+            F.round(F.avg("_tok_len"), 6).alias("avg_token_len"),
+            F.round(F.avg("_long"), 6).alias("long_ratio"),
+            F.round(F.avg("_pr"), 6).alias("punct_ratio"),
+            F.round(F.avg("_ur"), 6).alias("upper_ratio"),
+            F.round(F.avg("_sr"), 6).alias("stopword_ratio"),
         )
         .orderBy("source")
     )
 
 
 SQL_TEXT_QUALITY = r"""
+WITH f AS (
+  SELECT source,
+         CAST(len(text) AS DOUBLE) AS chars,
+         CAST(len(text) AS DOUBLE) / len(string_split_regex(trim(text), '\s+')) AS tok_len,
+         CASE WHEN n_chars > 250 THEN 1.0 ELSE 0.0 END AS long_f,
+         CAST(len(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+           / len(text) AS pr,
+         CAST(len(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+           / len(text) AS ur,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                w -> list_contains(['the','and','of','to','a','in','is','that','for','with'], lower(w)))) AS DOUBLE)
+           / len(string_split_regex(trim(text), '\s+')) AS sr
+  FROM documents)
 SELECT source, count(*) AS n_docs,
-       round(avg(CAST(len(text) AS DOUBLE)), 6) AS avg_chars,
-       round(avg(CAST(len(text) AS DOUBLE) / len(string_split_regex(trim(text), '\s+'))), 6) AS avg_token_len,
-       round(avg(CASE WHEN n_chars > 250 THEN 1.0 ELSE 0.0 END), 6) AS long_ratio
-FROM documents GROUP BY source ORDER BY source
+       round(avg(chars), 6) AS avg_chars,
+       round(avg(tok_len), 6) AS avg_token_len,
+       round(avg(long_f), 6) AS long_ratio,
+       round(avg(pr), 6) AS punct_ratio,
+       round(avg(ur), 6) AS upper_ratio,
+       round(avg(sr), 6) AS stopword_ratio
+FROM f GROUP BY source ORDER BY source
 """
 
 
@@ -1420,53 +1459,45 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
-def q_quality_scores(spark, sf_dir):
-    """Quality-scoring features per source: punctuation / uppercase /
-    stopword ratios (textops.quality_scores semantics, aggregated;
-    per-row math unrounded in both engines, only aggregates rounded)."""
-    docs = load(spark, sf_dir, "documents")
-    text = F.col("text")
-    words = F.split(F.trim(text), r"\s+")
-    n_tokens = F.size(words).cast("double")
-    chars = F.length(text).cast("double")
-    punct = F.length(F.regexp_replace(text, r"[^\p{Punct}]", "")).cast("double")
-    upper = F.length(F.regexp_replace(text, r"[^A-Z]", "")).cast("double")
-    sw = ["the", "and", "of", "to", "a", "in", "is", "that", "for", "with"]
-    sw_hits = F.size(F.filter(F.transform(words, F.lower), lambda w: w.isin(*sw))).cast("double")
-    return (
-        docs.select(
-            "source",
-            (punct / chars).alias("pr"),
-            (upper / chars).alias("ur"),
-            (sw_hits / n_tokens).alias("sr"),
-        )
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.round(F.avg("pr"), 6).alias("punct_ratio"),
-            F.round(F.avg("ur"), 6).alias("upper_ratio"),
-            F.round(F.avg("sr"), 6).alias("stopword_ratio"),
-        )
-        .orderBy("source")
+def q_counter_tier(spark, sf_dir):
+    """Counter-aggregate tier (operators/counters): per-user 1h
+    increase/rate with PromQL reset semantics over the events table —
+    the boundary-charged ``bucket_increase`` and total reset count must
+    hash-match an independent ANSI lag-window oracle (the same law the
+    DuckDB test pins; events has no duplicate (user, ts), so the
+    ordering is unambiguous). The exact-cascade law is pytest-pinned
+    (tests/test_counters.py)."""
+    from .operators.counters import counter_rollup
+
+    ev = load(spark, sf_dir, "events")
+    tier = counter_rollup(
+        ev, "1h", key_col="user_id", time_col="ts", value_col="value"
     )
+    return tier.select(
+        "user_id",
+        "bucket_start",
+        "n",
+        F.round("bucket_increase", 6).alias("bucket_increase"),
+        (F.col("resets") + F.col("boundary_reset")).alias("total_resets"),
+        F.round(F.col("bucket_increase") / 3600.0, 9).alias("rate"),
+    ).orderBy("user_id", "bucket_start")
 
 
-SQL_QUALITY_SCORES = r"""
-WITH f AS (
-  SELECT source,
-         CAST(len(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
-           / len(text) AS pr,
-         CAST(len(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
-           / len(text) AS ur,
-         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
-                w -> list_contains(['the','and','of','to','a','in','is','that','for','with'], lower(w)))) AS DOUBLE)
-           / len(string_split_regex(trim(text), '\s+')) AS sr
-  FROM documents)
-SELECT source, count(*) AS n_docs,
-       round(avg(pr), 6) AS punct_ratio,
-       round(avg(ur), 6) AS upper_ratio,
-       round(avg(sr), 6) AS stopword_ratio
-FROM f GROUP BY source ORDER BY source
+SQL_COUNTER_TIER = """
+WITH d AS (
+  SELECT user_id, epoch(ts) AS t, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY epoch(ts)) AS pv
+  FROM events WHERE value IS NOT NULL)
+SELECT user_id, CAST(floor(t / 3600) * 3600 AS BIGINT) AS bucket_start,
+       count(*) AS n,
+       round(sum(CASE WHEN pv IS NULL THEN 0.0
+                      WHEN value >= pv THEN value - pv
+                      ELSE value END), 6) AS bucket_increase,
+       CAST(sum(CASE WHEN pv IS NOT NULL AND value < pv THEN 1 ELSE 0 END) AS BIGINT) AS total_resets,
+       round(sum(CASE WHEN pv IS NULL THEN 0.0
+                      WHEN value >= pv THEN value - pv
+                      ELSE value END) / 3600.0, 9) AS rate
+FROM d GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
@@ -2245,7 +2276,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q14_promo_revenue": (q14_promo_revenue, SQL_Q14),
     "q_supplier_revenue": (q_supplier_revenue, SQL_SUPPLIER_REVENUE),
     "q_quantile_tier": (q_quantile_tier, SQL_QUANTILE_TIER),
-    "q_quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
+    "q_counter_tier": (q_counter_tier, SQL_COUNTER_TIER),
     # rows-only (non-SQL-expressible; parity via pytest instead)
     "q_correct_series": (q_correct_series, None),
     "q_correct_chunked": (q_correct_chunked, None),
