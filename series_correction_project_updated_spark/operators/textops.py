@@ -135,3 +135,45 @@ def redact_pii(
     for _name, _pat, repl in _PII_RULES:
         hits = hits + F.size(F.split(col, F.lit(repl), -1)) - 1
     return docs.withColumn(out_col, col).withColumn("pii_hits", hits)
+
+
+_HTML_ENTITIES = [
+    # &amp; decoded LAST: "&amp;lt;" means the literal text "&lt;" and
+    # must not double-decode into "<"
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def extract_text_from_html(
+    pages: DataFrame, html_col: str = "html", out_col: str = "text_extracted"
+) -> DataFrame:
+    """Extract visible text from the ``html`` BINARY column (the
+    input_hint's raw-page bytes): UTF-8 decode, drop ``<script>`` /
+    ``<style>`` blocks and comments, strip tags, decode the common
+    entities, collapse whitespace.
+
+    Entirely JVM-side (``decode`` + chained ``regexp_replace`` —
+    whole-stage codegen, no Python), so extraction is DETERMINISTIC at
+    any parallelism: the same url always yields byte-identical text —
+    the north-rule per-row invariant (``plans.pipeline
+    .verify_text_identity`` checks it end to end; tests pin extraction
+    twice / re-partitioned == bit-equal, and == the stored ``text``
+    column on the synthetic pages table). A tag-soup regex stripper is
+    the honest dependency-free baseline (no lxml/bs4 in scope): it
+    handles well-formed markup and degrades to over-stripping, never to
+    nondeterminism.
+    """
+    s = F.decode(F.col(html_col), "UTF-8")
+    s = F.regexp_replace(s, r"(?is)<(script|style)[^>]*>.*?</\1\s*>", " ")
+    s = F.regexp_replace(s, r"(?s)<!--.*?-->", " ")
+    s = F.regexp_replace(s, r"(?s)<[^>]*>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    s = F.trim(F.regexp_replace(s, r"\s+", " "))
+    return pages.withColumn(out_col, s)
