@@ -128,7 +128,10 @@ def modified_z_scores(
     """
     rolling_median = _rolling_center_median(values, window_size)
     scaled_mad = _rolling_center_mad(values, rolling_median, window_size) * _MAD_SCALE
-    with np.errstate(invalid="ignore", divide="ignore"):
+    # over=: adversarial fuzz inputs (|dev| near 1e308 over a tiny MAD)
+    # overflow to inf, which the z-threshold comparison handles — same
+    # result the reference's numpy produces
+    with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
         abs_diff = np.abs(values - rolling_median)
         z = np.where(
             scaled_mad < _EPS,
