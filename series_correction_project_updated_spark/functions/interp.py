@@ -38,8 +38,20 @@ __all__ = [
     "nearest_eval",
     "akima_eval",
     "pchip_eval",
+    "locf_eval",
     "interp_fill",
 ]
+
+
+def locf_eval(x: np.ndarray, y: np.ndarray, xq: np.ndarray) -> np.ndarray:
+    """Last-observation-carried-forward: value of the greatest ``x`` ≤
+    each query (an ENGINE EXTENSION — TimescaleDB ``locf``; not a pandas
+    interpolate method, which only offers the deprecated 'pad'). Queries
+    before the first observation BACKFILL from it, keeping the kernel's
+    'both edges filled' convention (linear's ``limit_direction='both'``,
+    so ``correct_series(gap_method='locf')`` never emits NaN rows)."""
+    idx = np.searchsorted(x, xq, side="right") - 1
+    return y[np.maximum(idx, 0)]
 
 
 def _check_xy(x: np.ndarray, y: np.ndarray, min_pts: int, what: str):
@@ -156,8 +168,8 @@ def pchip_eval(x: np.ndarray, y: np.ndarray, xq: np.ndarray) -> np.ndarray:
     return _hermite_eval(x, y, s, xq, extrapolate=True)
 
 
-_FILL_FNS = {"nearest": nearest_eval, "akima": akima_eval, "pchip": pchip_eval}
-_MIN_PTS = {"nearest": 2, "akima": 3, "pchip": 2}
+_FILL_FNS = {"nearest": nearest_eval, "akima": akima_eval, "pchip": pchip_eval, "locf": locf_eval}
+_MIN_PTS = {"nearest": 2, "akima": 3, "pchip": 2, "locf": 1}
 
 
 def interp_fill(values: np.ndarray, method: str) -> np.ndarray:

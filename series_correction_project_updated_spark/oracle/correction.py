@@ -400,7 +400,7 @@ def correct_gaps(
         result = pd.concat([result, gaps_df], ignore_index=True)
         result = result.sort_values(by=time_col).reset_index(drop=True)
     interp_method = "linear" if method == "time" else method
-    if interp_method in ("cubic", "nearest", "akima", "pchip"):
+    if interp_method in ("cubic", "nearest", "akima", "pchip", "locf"):
         # pandas delegates these methods to scipy over the positional
         # index; scipy is optional here, so the same interpolants run
         # through the numpy implementations instead (functions/spline.py
