@@ -78,6 +78,12 @@ def main():
         "quantile_rollup_1m": lambda: _drain(quantile_rollup(s, "1m", k=64)),
         "counter_rollup_1m": lambda: _drain(counter_rollup(s, "1m")),
         "counter_direct_1h": lambda: _drain(counter_rollup(s, "1h")),
+        "timeweight_rollup_1m": lambda: _drain(
+            __import__(
+                "series_correction_project_updated_spark.operators.timeweight",
+                fromlist=["time_weighted_rollup"],
+            ).time_weighted_rollup(s, "1m")
+        ),
         "ewma_smooth": lambda: _drain(ewma_smooth(s, 0.1)),
         "holt_smooth": lambda: _drain(holt_smooth(s, 0.3, 0.1)),
         "seasonal_decompose_p24": lambda: _drain(seasonal_decompose(s, 24)),

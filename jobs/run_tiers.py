@@ -35,7 +35,7 @@ TIERS = ["1m", "1h", "1d"]
 
 
 def _families(spark, k: int):
-    from series_correction_project_updated_spark.operators import counters, quantile
+    from series_correction_project_updated_spark.operators import counters, quantile, timeweight
     from series_correction_project_updated_spark.operators.rollup import cascade, rollup
 
     return {
@@ -48,6 +48,10 @@ def _families(spark, k: int):
             lambda pts: counters.counter_rollup(pts, "1m"),
             counters.counter_cascade,
         ),
+        "timeweight": (
+            lambda pts: timeweight.time_weighted_rollup(pts, "1m"),
+            timeweight.time_weighted_cascade,
+        ),
     }
 
 
@@ -56,7 +60,7 @@ def main() -> None:
     ap.add_argument("--input", help="points parquet path (series_key, t, value)")
     ap.add_argument("--synthetic", help="generate pages: '<n_urls>x<samples>'")
     ap.add_argument("--out", required=True)
-    ap.add_argument("--families", default="numeric,quantile,counter")
+    ap.add_argument("--families", default="numeric,quantile,counter,timeweight")
     ap.add_argument("--k", type=int, default=64, help="quantile digest size")
     args = ap.parse_args()
 
