@@ -194,7 +194,11 @@ def _decode_timestamps_scalar_inner(r: _BitReader, n: int, legacy_v1: bool) -> n
     out[0] = first
     if n == 1:
         return out
-    delta = _unzigzag(r.read(64))
+    # delta accumulates in int64 WITH WRAPAROUND, mirroring the vectorized
+    # decoder — as a raw python int it can exceed the int64 range and blow
+    # the C-long conversion on assignment (hypothesis-found: consecutive
+    # escape-class dods of magnitude ~2^63)
+    delta = np.int64(_unzigzag(r.read(64)))
     out[1] = out[0] + delta
     for i in range(2, n):
         if r.read(1) == 0:
@@ -214,7 +218,7 @@ def _decode_timestamps_scalar_inner(r: _BitReader, n: int, legacy_v1: bool) -> n
                 bits, dod = 64, r.read(64)  # escape class: raw 64-bit dod
             if dod >= 1 << (bits - 1):
                 dod -= 1 << bits
-        delta += dod
+        delta = delta + np.int64(dod)
         out[i] = out[i - 1] + delta
     return out
 
