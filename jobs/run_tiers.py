@@ -1,6 +1,7 @@
 #!/usr/bin/env python
 """spark-submit entry point: materialize the tier family from a point
-store — numeric rollups, quantile digests, counter aggregates — each
+store — numeric rollups, quantile digests, counter aggregates,
+time-weighted integrals, regression moments, fixed-bin histograms — each
 cascaded 1m -> 1h -> 1d and written as ``bucket_date=``-partitioned
 parquet (the layout retention expiry and partition pruning operate on;
 coarser tiers are built from the FINER TIER's store, never from raw,
@@ -34,10 +35,17 @@ from series_correction_project_updated_spark.session import get_spark  # noqa: E
 TIERS = ["1m", "1h", "1d"]
 
 
-def _families(spark, k: int):
-    from series_correction_project_updated_spark.operators import counters, quantile, timeweight
+def _families(spark, k: int, hist_range: tuple[float, float, int] = (0.0, 100.0, 32)):
+    from series_correction_project_updated_spark.operators import (
+        counters,
+        histogram,
+        quantile,
+        stats,
+        timeweight,
+    )
     from series_correction_project_updated_spark.operators.rollup import cascade, rollup
 
+    lo, hi, nbins = hist_range
     return {
         "numeric": (lambda pts: rollup(pts, "1m"), cascade),
         "quantile": (
@@ -52,6 +60,14 @@ def _families(spark, k: int):
             lambda pts: timeweight.time_weighted_rollup(pts, "1m"),
             timeweight.time_weighted_cascade,
         ),
+        "stats": (
+            lambda pts: stats.stats_rollup(pts, "1m"),
+            stats.stats_cascade,
+        ),
+        "histogram": (
+            lambda pts: histogram.histogram_rollup(pts, "1m", lo, hi, nbins),
+            histogram.histogram_cascade,
+        ),
     }
 
 
@@ -60,8 +76,15 @@ def main() -> None:
     ap.add_argument("--input", help="points parquet path (series_key, t, value)")
     ap.add_argument("--synthetic", help="generate pages: '<n_urls>x<samples>'")
     ap.add_argument("--out", required=True)
-    ap.add_argument("--families", default="numeric,quantile,counter,timeweight")
+    ap.add_argument(
+        "--families", default="numeric,quantile,counter,timeweight,stats,histogram"
+    )
     ap.add_argument("--k", type=int, default=64, help="quantile digest size")
+    ap.add_argument(
+        "--hist",
+        default="0:100:32",
+        help="histogram lo:hi:nbins (fixed-bin family range)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="tier-build")
@@ -78,7 +101,8 @@ def main() -> None:
     else:
         ap.error("one of --input / --synthetic is required")
 
-    fams = _families(spark, args.k)
+    lo, hi, nbins = args.hist.split(":")
+    fams = _families(spark, args.k, (float(lo), float(hi), int(nbins)))
     report: dict = {"out": args.out, "tiers": {}}
     for fam in args.families.split(","):
         if fam not in fams:

@@ -1,0 +1,143 @@
+"""Fixed-bin histogram tiers — the integer-exact mergeable
+distribution aggregate (Prometheus classic-histogram semantics).
+
+Where the quantile-digest tier trades size for rank error, a fixed-bin
+histogram is EXACT for its resolution and merges by plain element-wise
+integer addition — cascade == direct **bit-equal**, no envelopes, no
+error terms. Stored form per (key, bucket):
+
+    counts: array<long> of length nbins+2 — [underflow] + nbins
+            equal-width bins over [lo, hi) + [overflow]
+    n:      exact total (== sum of counts, invariant-pinned)
+
+Execution: the rollup is ONE map-side-combining hash aggregate — each
+bin is a ``sum(when(bin == i, 1))`` counter, so the shuffle carries
+nbins+2 longs per (key, bucket), never rows (``nbins ≤ 512`` guarded:
+the counters live in the aggregation buffer). The cascade folds stored
+arrays with ``aggregate``+``zip_with`` — pure JVM, tier rows only.
+
+``histogram_quantile`` interpolates linearly within the located bin
+(Prometheus ``histogram_quantile`` rule), giving any-window percentile
+serving bounded by one bin width; underflow/overflow hits clamp to the
+edge (their true spread is unknowable, also the Prometheus rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schema import TIER_SECONDS
+
+
+def histogram_rollup(
+    points: DataFrame,
+    tier: str = "1m",
+    lo: float = 0.0,
+    hi: float = 1.0,
+    nbins: int = 32,
+    key_col: str = "series_key",
+    time_col: str = "t",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-(key, bucket) fixed-bin histogram of ``value_col``."""
+    if not (hi > lo):
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    if not 1 <= nbins <= 512:
+        raise ValueError(f"nbins must be in [1, 512], got {nbins}")
+    sec = TIER_SECONDS[tier]
+    t = F.col(time_col).cast("timestamp_ltz").cast("double")
+    bucket = (F.floor(t / sec) * sec).cast("long")
+    v = F.col(value_col).cast("double")
+    width = (hi - lo) / nbins
+    # slot 0 = underflow, 1..nbins = bins, nbins+1 = overflow
+    slot = (
+        F.when(v < lo, F.lit(0))
+        .when(v >= hi, F.lit(nbins + 1))
+        .otherwise((F.floor((v - lo) / width) + 1).cast("int"))
+    )
+    pts = points.where(v.isNotNull()).select(
+        F.col(key_col), bucket.alias("bucket_start"), slot.alias("_slot")
+    )
+    counters = [
+        F.sum(F.when(F.col("_slot") == i, 1).otherwise(0)).alias(f"_c{i}")
+        for i in range(nbins + 2)
+    ]
+    agg = pts.groupBy(key_col, "bucket_start").agg(*counters)
+    return agg.select(
+        key_col,
+        "bucket_start",
+        F.array(*[F.col(f"_c{i}") for i in range(nbins + 2)]).alias("counts"),
+        sum(
+            (F.col(f"_c{i}") for i in range(1, nbins + 2)), F.col("_c0")
+        ).alias("n"),
+    )
+
+
+def histogram_cascade(
+    fine: DataFrame,
+    to_tier: str,
+    key_col: str = "series_key",
+) -> DataFrame:
+    """Element-wise integer merge into a coarser tier — bit-equal to the
+    direct rollup (pinned)."""
+    sec = TIER_SECONDS[to_tier]
+    coarse = (F.floor(F.col("bucket_start") / sec) * sec).cast("long")
+    nslots = F.size(F.col("counts"))
+    grouped = (
+        fine.select(F.col(key_col), coarse.alias("bucket_start"), "counts", "n")
+        .groupBy(key_col, "bucket_start")
+        .agg(
+            F.collect_list("counts").alias("_cs"),
+            F.sum("n").alias("n"),
+            F.first(nslots).alias("_k"),
+        )
+    )
+    zero = F.array_repeat(F.lit(0).cast("long"), F.col("_k").cast("int"))
+    merged = F.aggregate(
+        F.col("_cs"), zero, lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b)
+    )
+    return grouped.select(key_col, "bucket_start", merged.alias("counts"), "n")
+
+
+def histogram_quantile(
+    tier_df: DataFrame,
+    q: float,
+    lo: float,
+    hi: float,
+) -> DataFrame:
+    """Prometheus-rule quantile from stored histograms: locate the bin
+    holding rank ``q·n`` via a running sum, interpolate linearly inside
+    it; under/overflow hits clamp to the range edge. Adds column
+    ``q<percent>`` — tier rows only, no raw re-scan."""
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0,1], got {q}")
+    counts = F.col("counts")
+    nbins = F.size(counts) - 2
+    width = (F.lit(hi) - F.lit(lo)) / nbins.cast("double")
+    rank = F.lit(q) * F.col("n").cast("double")
+    # cumulative counts per slot boundary (array of running sums)
+    cums = F.transform(
+        counts,
+        lambda _c, i: F.aggregate(
+            F.slice(counts, 1, i + 1), F.lit(0).cast("long"), lambda a, b: a + b
+        ),
+    )
+    # first slot whose cumulative reaches the rank
+    slot = F.array_position(
+        F.transform(cums, lambda c: c.cast("double") >= rank), F.lit(True)
+    )  # 1-based over nbins+2 slots
+    prev_cum = F.when(slot > 1, F.element_at(cums, (slot - 1).cast("int"))).otherwise(
+        F.lit(0)
+    )
+    in_bin = F.element_at(counts, slot.cast("int"))
+    frac = F.try_divide(rank - prev_cum.cast("double"), in_bin.cast("double"))
+    bin_lo = F.lit(lo) + (slot.cast("double") - 2.0) * width
+    interp = bin_lo + frac * width
+    est = (
+        F.when(F.col("n") == 0, F.lit(None).cast("double"))
+        .when(slot == 1, F.lit(lo))  # underflow: clamp
+        .when(slot == nbins + 2, F.lit(hi))  # overflow: clamp
+        .otherwise(F.least(F.greatest(interp, F.lit(lo)), F.lit(hi)))
+    )
+    return tier_df.withColumn(f"q{int(round(q * 100)):02d}", est)

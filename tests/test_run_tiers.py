@@ -14,7 +14,8 @@ def test_run_tiers_job_end_to_end(tmp_path):
             sys.executable,
             os.path.join(os.path.dirname(__file__), "..", "jobs", "run_tiers.py"),
             "--synthetic", "12x120", "--out", out,
-            "--families", "numeric,quantile,counter,timeweight", "--k", "32",
+            "--families", "numeric,quantile,counter,timeweight,stats,histogram",
+            "--k", "32", "--hist", "0:200:16",
         ],
         capture_output=True,
         text=True,
@@ -25,7 +26,7 @@ def test_run_tiers_job_end_to_end(tmp_path):
     report = json.loads(res.stdout.strip().splitlines()[-1])
     assert set(report["tiers"]) == {
         f"{fam}_{tier}"
-        for fam in ("numeric", "quantile", "counter", "timeweight")
+        for fam in ("numeric", "quantile", "counter", "timeweight", "stats", "histogram")
         for tier in ("1m", "1h", "1d")
     }
     for name, info in report["tiers"].items():
@@ -35,5 +36,5 @@ def test_run_tiers_job_end_to_end(tmp_path):
         assert any(d.startswith("bucket_date=") for d in dirs), name
     # coarser tiers shrink
     t = report["tiers"]
-    for fam in ("numeric", "quantile", "counter", "timeweight"):
+    for fam in ("numeric", "quantile", "counter", "timeweight", "stats", "histogram"):
         assert t[f"{fam}_1m"]["rows"] > t[f"{fam}_1h"]["rows"] > t[f"{fam}_1d"]["rows"]
