@@ -8,6 +8,8 @@ noop-drained) on a deterministic 10M-point series table (10k series x
   quantile_eval      p50/p95/p99 evaluated from the 1h digests
   counter_1m+1h      counter rollup + exactly-merging cascade
   counter_direct_1h  direct 1h rollup (cascade-vs-direct cost check)
+  stats_1m+1h+eval   2D moment rollup, re-centering cascade, derived stats
+  histogram_1m+1h+q  64-bin rollup, integer-merge cascade, p95 serving
 
 Usage: python BENCH/tier_bench.py [n_series] [pts_per_series] [reps]
 Prints one JSON line.
@@ -74,10 +76,25 @@ def main():
         holt_smooth,
     )
 
+    from series_correction_project_updated_spark.operators.histogram import (
+        histogram_cascade,
+        histogram_quantile,
+        histogram_rollup,
+    )
+    from series_correction_project_updated_spark.operators.stats import (
+        stats_cascade,
+        stats_eval,
+        stats_rollup,
+    )
+
     phase1 = {
         "quantile_rollup_1m": lambda: _drain(quantile_rollup(s, "1m", k=64)),
         "counter_rollup_1m": lambda: _drain(counter_rollup(s, "1m")),
         "counter_direct_1h": lambda: _drain(counter_rollup(s, "1h")),
+        "stats_rollup_1m": lambda: _drain(stats_rollup(s, "1m")),
+        "histogram_rollup_1m_b64": lambda: _drain(
+            histogram_rollup(s, "1m", 0.0, 51000.0, 64)
+        ),
         "timeweight_rollup_1m": lambda: _drain(
             __import__(
                 "series_correction_project_updated_spark.operators.timeweight",
@@ -92,12 +109,20 @@ def main():
     # shape: cascades/eval read stored tiers, never raw)
     t1m_q = quantile_rollup(s, "1m", k=64)
     t1m_c = counter_rollup(s, "1m")
+    t1m_s = stats_rollup(s, "1m")
+    t1m_h = histogram_rollup(s, "1m", 0.0, 51000.0, 64)
     phase2 = {
         "quantile_cascade_1h": lambda: _drain(quantile_cascade(t1m_q, "1h", k=64)),
         "quantile_eval_p50_p95_p99": lambda: _drain(
             digest_quantiles(t1m_q, [0.5, 0.95, 0.99])
         ),
         "counter_cascade_1h": lambda: _drain(counter_cascade(t1m_c, "1h")),
+        "stats_cascade_1h": lambda: _drain(stats_cascade(t1m_s, "1h")),
+        "stats_eval_1m": lambda: _drain(stats_eval(t1m_s)),
+        "histogram_cascade_1h": lambda: _drain(histogram_cascade(t1m_h, "1h")),
+        "histogram_quantile_p95_1m": lambda: _drain(
+            histogram_quantile(t1m_h, 0.95, 0.0, 51000.0)
+        ),
     }
 
     def _time(ops, results):
@@ -120,6 +145,8 @@ def main():
     _time(phase1, results)
     t1m_q.cache().count()
     t1m_c.cache().count()
+    t1m_s.cache().count()
+    t1m_h.cache().count()
     _time(phase2, results)
     p_after = _cpu_probe()
 

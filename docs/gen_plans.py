@@ -225,9 +225,55 @@ def _counter_tier(spark):
     return counter_rollup(ev, "1m")
 
 
+def _events_series(spark):
+    from pyspark.sql import functions as F
+
+    return spark.read.parquet(f"{SF}/events.parquet").select(
+        F.col("user_id").cast("string").alias("series_key"),
+        F.col("ts").alias("t"),
+        "value",
+    )
+
+
+def _stats_tier(spark):
+    """Non-registry extra: 2D-moment stats tier — ONE map-side-combining
+    hash aggregate (six primitive sums over a bucket-relative projection),
+    zero Python, zero joins."""
+    from series_correction_project_updated_spark.operators.stats import stats_rollup
+
+    return stats_rollup(_events_series(spark), "1h")
+
+
+def _histogram_tier(spark):
+    """Non-registry extra: fixed-bin histogram tier — ONE hash aggregate
+    of nbins+2 sum(when) counters; the shuffle carries counter partials,
+    never rows."""
+    from series_correction_project_updated_spark.operators.histogram import histogram_rollup
+
+    return histogram_rollup(_events_series(spark), "1h", 0.0, 1000.0, 32)
+
+
 # plans audited OUTSIDE the 50-entry driver registry (operator surface
 # with no registry slot); fn(spark) -> DataFrame
 EXTRA_AUDIT = {
+    "stats_rollup tier (non-registry)": (
+        _stats_tier,
+        [
+            ("NO Python in plan (primitive moment sums)", "NO_PYTHON"),
+            ("exactly one exchange (the bucket agg)", "EXCHANGES_1"),
+            ("map-side partial aggregation before the exchange", r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate"),
+            ("no join operator anywhere", r"(?s)^(?!.*(SortMergeJoin|BroadcastHashJoin|CartesianProduct))"),
+        ],
+    ),
+    "histogram_rollup tier (non-registry)": (
+        _histogram_tier,
+        [
+            ("NO Python in plan (sum(when) bin counters)", "NO_PYTHON"),
+            ("exactly one exchange (counters shuffle, rows never do)", "EXCHANGES_1"),
+            ("map-side partial aggregation before the exchange", r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate"),
+            ("no join operator anywhere", r"(?s)^(?!.*(SortMergeJoin|BroadcastHashJoin|CartesianProduct))"),
+        ],
+    ),
     "counter_rollup tier (non-registry)": (
         _counter_tier,
         [

@@ -30,6 +30,19 @@ from pyspark.sql import functions as F
 from ..schema import TIER_SECONDS
 
 
+def slot_expr(v, lo: float, hi: float, nbins: int):
+    """Bin-slot assignment as a JVM column expression — slot 0 =
+    underflow, 1..nbins = equal-width bins over [lo, hi), nbins+1 =
+    overflow. Shared by the batch rollup and the streaming tier's
+    pre-projection so both paths bin by the IDENTICAL expression."""
+    width = (hi - lo) / nbins
+    return (
+        F.when(v < lo, F.lit(0))
+        .when(v >= hi, F.lit(nbins + 1))
+        .otherwise((F.floor((v - lo) / width) + 1).cast("int"))
+    )
+
+
 def histogram_rollup(
     points: DataFrame,
     tier: str = "1m",
@@ -49,13 +62,7 @@ def histogram_rollup(
     t = F.col(time_col).cast("timestamp_ltz").cast("double")
     bucket = (F.floor(t / sec) * sec).cast("long")
     v = F.col(value_col).cast("double")
-    width = (hi - lo) / nbins
-    # slot 0 = underflow, 1..nbins = bins, nbins+1 = overflow
-    slot = (
-        F.when(v < lo, F.lit(0))
-        .when(v >= hi, F.lit(nbins + 1))
-        .otherwise((F.floor((v - lo) / width) + 1).cast("int"))
-    )
+    slot = slot_expr(v, lo, hi, nbins)
     pts = points.where(v.isNotNull()).select(
         F.col(key_col), bucket.alias("bucket_start"), slot.alias("_slot")
     )
