@@ -87,9 +87,11 @@ BENCH_QUERIES = [
     "q_counter_tier",
     "q_downsample_m4",
     "q_asof_join",
-    "q_asof_forward",
+    "q_asof_fwd_near",
     "q_compress_roundtrip",
     "q_stream_rollup_1m",
+    "q_stats_tier",
+    "q_histogram_tier",
 ]
 
 #: documented clean single-thread rate on this box (BENCH/BASELINE.md)

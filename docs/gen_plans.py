@@ -92,9 +92,19 @@ AUDIT = {
         ("NO Python in plan (union + running-last window)", "NO_PYTHON"),
         ("no join operator at all - window shape", r"(?s)^(?!.*(SortMergeJoin|CartesianProduct))"),
     ],
-    "q_asof_forward": [
-        ("NO Python in plan (union + running-first window)", "NO_PYTHON"),
+    "q_asof_fwd_near": [
+        ("NO Python in plan (union + running-first/nearest windows)", "NO_PYTHON"),
         ("no join operator at all - window shape", r"(?s)^(?!.*(SortMergeJoin|CartesianProduct))"),
+    ],
+    "q_stats_tier": [
+        ("NO Python in plan (primitive moment sums + eval algebra)", "NO_PYTHON"),
+        ("pure hash aggregates, no window", r"HashAggregate"),
+        ("map-side partial aggregation before the exchange", r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate"),
+    ],
+    "q_histogram_tier": [
+        ("NO Python in plan (sum(when) counters + zip_with merge)", "NO_PYTHON"),
+        ("explode of stored counts via Generate", r"Generate"),
+        ("no join operator anywhere", r"(?s)^(?!.*(SortMergeJoin|BroadcastHashJoin|CartesianProduct))"),
     ],
     "q_quantile_tier": [
         # digest tier: JVM hash agg feeds Arrow compression; cascade and

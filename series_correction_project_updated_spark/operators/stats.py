@@ -125,17 +125,35 @@ def stats_eval(tier_df: DataFrame) -> DataFrame:
     (``try_divide`` semantics — no NaN/inf leaks into stores)."""
     n = F.col("n").cast("double")
     mx, my = F.col("sx") / n, F.col("sy") / n
-    # Σ(x-mx)(y-my) = sxy - n·mx·my, etc. — bucket-local x keeps these stable
-    cxy = F.col("sxy") - n * mx * my
-    m2x = F.col("sxx") - n * mx * mx
-    m2y = F.col("syy") - n * my * my
+    # Σ(x-mx)(y-my) = sxy - n·mx·my, etc. — bucket-local x keeps these stable.
+    # n=1 buckets are definitionally zero-spread, but after a cascade
+    # re-center the subtraction leaves ~1e-9 float noise instead of an
+    # exact 0, turning the try_divide null into garbage-noise slope/corr
+    # (and a possibly NEGATIVE m2, NaN-ing corr's sqrt). Pin n=1 to exact
+    # zero and clamp residual negative noise.
+    one = F.col("n") == 1
+    cxy = F.when(one, F.lit(0.0)).otherwise(F.col("sxy") - n * mx * my)
+    m2x = F.when(one, F.lit(0.0)).otherwise(
+        F.greatest(F.col("sxx") - n * mx * mx, F.lit(0.0))
+    )
+    m2y = F.when(one, F.lit(0.0)).otherwise(
+        F.greatest(F.col("syy") - n * my * my, F.lit(0.0))
+    )
     slope = F.try_divide(cxy, m2x)
+    corr_raw = F.try_divide(cxy, F.sqrt(m2x * m2y))
+    r2_raw = F.try_divide(cxy * cxy, m2x * m2y)
     return tier_df.select(
         "*",
         slope.alias("slope"),
         (my - slope * mx).alias("intercept"),
-        F.try_divide(cxy, F.sqrt(m2x * m2y)).alias("corr"),
-        F.try_divide(cxy * cxy, m2x * m2y).alias("r2"),
+        # perfect-fit buckets can land a few ulps outside [-1, 1] / [0, 1];
+        # clamp only non-null values (least/greatest SKIP nulls, so a bare
+        # clamp would turn a degenerate bucket's null into ±1)
+        F.when(
+            corr_raw.isNotNull(),
+            F.greatest(F.lit(-1.0), F.least(F.lit(1.0), corr_raw)),
+        ).alias("corr"),
+        F.when(r2_raw.isNotNull(), F.least(F.lit(1.0), r2_raw)).alias("r2"),
         F.try_divide(m2x, n - 1.0).alias("var_x"),
         F.try_divide(m2y, n - 1.0).alias("var_y"),
     )

@@ -386,26 +386,35 @@ def _asof_fixture(spark, sf_dir):
     return pts, tier
 
 
-def q_asof_forward(spark, sf_dir):
-    """FORWARD-direction as-of join (r3 verdict #7 — pandas merge_asof
-    direction='forward'): each event matched to the EARLIEST even-hour
-    bucket at or after it, within 1.5h. DuckDB's native ASOF only does
-    backward, so the oracle is an independent ANSI shape: correlated
-    min(r.t ≥ p.t) + equi-join back to the bucket row."""
+def q_asof_fwd_near(spark, sf_dir):
+    """FORWARD- and NEAREST-direction as-of joins (r3 verdict #7 —
+    pandas merge_asof direction='forward'/'nearest'; equal distance →
+    backward), one union with a ``dir`` column (merged from the former
+    separate q_asof_forward / q_asof_nearest entries to free registry
+    slots for the stats/histogram tier queries — both directions stay
+    value-checked). DuckDB's native ASOF only does backward, so the
+    oracle is an independent ANSI shape: correlated min/max candidates
+    + equi-join back to the bucket row."""
     from .operators.asof import asof_join
 
     pts, tier = _asof_fixture(spark, sf_dir)
-    out = asof_join(
-        pts, tier, key_col="user_id", time_col="t",
-        payload_cols=["hsum", "hcnt"], tolerance=5400.0, direction="forward",
-    )
-    return out.select(
-        "user_id", F.round("t", 6).alias("t"), "value",
-        "hsum_asof", "hcnt_asof", "t_asof",
-    ).orderBy("user_id", "t", "value")
+    outs = []
+    for d in ("forward", "nearest"):
+        out = asof_join(
+            pts, tier, key_col="user_id", time_col="t",
+            payload_cols=["hsum", "hcnt"], tolerance=5400.0, direction=d,
+        )
+        outs.append(
+            out.select(
+                F.lit(d).alias("dir"),
+                "user_id", F.round("t", 6).alias("t"), "value",
+                "hsum_asof", "hcnt_asof", "t_asof",
+            )
+        )
+    return outs[0].unionByName(outs[1]).orderBy("dir", "user_id", "t", "value")
 
 
-SQL_ASOF_FORWARD = """
+SQL_ASOF_FWD_NEAR = """
 WITH pts AS (SELECT user_id, epoch_ms(ts)/1000.0 AS t, value FROM events),
 tier AS (
   SELECT * FROM (
@@ -414,48 +423,18 @@ tier AS (
     FROM pts GROUP BY 1, 2
   ) WHERE CAST(t/3600 AS BIGINT) % 2 = 0
 ),
-j AS (
+fwd AS (
   SELECT p.user_id, p.t, p.value,
          (SELECT min(r.t) FROM tier r
           WHERE r.user_id = p.user_id AND r.t >= p.t) AS rt
   FROM pts p
-)
-SELECT j.user_id, round(j.t, 6) AS t, j.value,
-       CASE WHEN j.rt IS NOT NULL AND j.rt - j.t <= 5400 THEN tr.hsum END AS hsum_asof,
-       CASE WHEN j.rt IS NOT NULL AND j.rt - j.t <= 5400 THEN tr.hcnt END AS hcnt_asof,
-       CASE WHEN j.rt IS NOT NULL AND j.rt - j.t <= 5400 THEN j.rt END AS t_asof
-FROM j LEFT JOIN tier tr ON tr.user_id = j.user_id AND tr.t = j.rt
-ORDER BY j.user_id, t, value
-"""
-
-
-def q_asof_nearest(spark, sf_dir):
-    """NEAREST-direction as-of join (pandas merge_asof
-    direction='nearest'; equal distance → backward): closest even-hour
-    bucket either side, within 1.5h. Oracle: independent ANSI — both
-    directional candidates via correlated max/min, closest picked with
-    the same tie rule, equi-joined back for the payload."""
-    from .operators.asof import asof_join
-
-    pts, tier = _asof_fixture(spark, sf_dir)
-    out = asof_join(
-        pts, tier, key_col="user_id", time_col="t",
-        payload_cols=["hsum", "hcnt"], tolerance=5400.0, direction="nearest",
-    )
-    return out.select(
-        "user_id", F.round("t", 6).alias("t"), "value",
-        "hsum_asof", "hcnt_asof", "t_asof",
-    ).orderBy("user_id", "t", "value")
-
-
-SQL_ASOF_NEAREST = """
-WITH pts AS (SELECT user_id, epoch_ms(ts)/1000.0 AS t, value FROM events),
-tier AS (
-  SELECT * FROM (
-    SELECT user_id, CAST(floor(t/3600)*3600 AS DOUBLE) AS t,
-           round(sum(value), 4) AS hsum, count(value) AS hcnt
-    FROM pts GROUP BY 1, 2
-  ) WHERE CAST(t/3600 AS BIGINT) % 2 = 0
+),
+f AS (
+  SELECT 'forward' AS dir, j.user_id, round(j.t, 6) AS t, j.value,
+         CASE WHEN j.rt IS NOT NULL AND j.rt - j.t <= 5400 THEN tr.hsum END AS hsum_asof,
+         CASE WHEN j.rt IS NOT NULL AND j.rt - j.t <= 5400 THEN tr.hcnt END AS hcnt_asof,
+         CASE WHEN j.rt IS NOT NULL AND j.rt - j.t <= 5400 THEN j.rt END AS t_asof
+  FROM fwd j LEFT JOIN tier tr ON tr.user_id = j.user_id AND tr.t = j.rt
 ),
 cand AS (
   SELECT p.user_id, p.t, p.value,
@@ -465,16 +444,19 @@ cand AS (
           WHERE r.user_id = p.user_id AND r.t >= p.t AND r.t - p.t <= 5400) AS ft
   FROM pts p
 ),
-j AS (
+nj AS (
   SELECT user_id, t, value,
          CASE WHEN bt IS NOT NULL AND (ft IS NULL OR t - bt <= ft - t) THEN bt
               ELSE ft END AS rt
   FROM cand
+),
+n AS (
+  SELECT 'nearest' AS dir, j.user_id, round(j.t, 6) AS t, j.value,
+         tr.hsum AS hsum_asof, tr.hcnt AS hcnt_asof, j.rt AS t_asof
+  FROM nj j LEFT JOIN tier tr ON tr.user_id = j.user_id AND tr.t = j.rt
 )
-SELECT j.user_id, round(j.t, 6) AS t, j.value,
-       tr.hsum AS hsum_asof, tr.hcnt AS hcnt_asof, j.rt AS t_asof
-FROM j LEFT JOIN tier tr ON tr.user_id = j.user_id AND tr.t = j.rt
-ORDER BY j.user_id, t, value
+SELECT * FROM (SELECT * FROM f UNION ALL SELECT * FROM n)
+ORDER BY dir, user_id, t, value
 """
 
 
@@ -942,36 +924,42 @@ FROM d ORDER BY user_id, day
 
 
 def q_dedup_exact(spark, sf_dir):
-    """Exact dedup by content hash (hash-groupBy; md5 identical across engines)."""
+    """Exact dedup, both modes in one union (merged from the former
+    separate q_dedup_exact / q_dedup_keyed entries to free a registry
+    slot — both stay value-checked): content-hash groups (md5 identical
+    across engines) and key-collision candidates (same lang, source,
+    n_chars), normalized to (mode, dup_key, rep_doc_id, cnt)."""
     docs = load(spark, sf_dir, "documents")
-    return (
-        docs.groupBy(F.md5(F.col("text")).alias("text_hash"))
+    by_hash = (
+        docs.groupBy(F.md5(F.col("text")).alias("dup_key"))
         .agg(F.min("doc_id").alias("rep_doc_id"), F.count("*").alias("cnt"))
         .where(F.col("cnt") > 1)
-        .orderBy("rep_doc_id")
+        .select(F.lit("hash").alias("mode"), "dup_key", "rep_doc_id", "cnt")
     )
+    by_key = (
+        docs.groupBy(
+            F.concat_ws("|", "lang", "source", F.col("n_chars").cast("string")).alias(
+                "dup_key"
+            )
+        )
+        .agg(F.min("doc_id").alias("rep_doc_id"), F.count("*").alias("cnt"))
+        .where(F.col("cnt") > 1)
+        .select(F.lit("keyed").alias("mode"), "dup_key", "rep_doc_id", "cnt")
+    )
+    return by_hash.unionByName(by_key).orderBy("mode", "rep_doc_id", "dup_key")
 
 
 SQL_DEDUP_EXACT = """
-SELECT md5(text) AS text_hash, min(doc_id) AS rep_doc_id, count(*) AS cnt
-FROM documents GROUP BY md5(text) HAVING count(*) > 1 ORDER BY rep_doc_id
-"""
-
-
-def q_dedup_keyed(spark, sf_dir):
-    """Key-collision dedup candidates: same (lang, source, n_chars)."""
-    docs = load(spark, sf_dir, "documents")
-    return (
-        docs.groupBy("lang", "source", "n_chars")
-        .agg(F.min("doc_id").alias("rep_doc_id"), F.count("*").alias("cnt"))
-        .where(F.col("cnt") > 1)
-        .orderBy("rep_doc_id")
-    )
-
-
-SQL_DEDUP_KEYED = """
-SELECT lang, source, n_chars, min(doc_id) AS rep_doc_id, count(*) AS cnt
-FROM documents GROUP BY lang, source, n_chars HAVING count(*) > 1 ORDER BY rep_doc_id
+SELECT * FROM (
+  SELECT 'hash' AS mode, md5(text) AS dup_key,
+         min(doc_id) AS rep_doc_id, count(*) AS cnt
+  FROM documents GROUP BY md5(text) HAVING count(*) > 1
+  UNION ALL
+  SELECT 'keyed' AS mode,
+         concat_ws('|', lang, source, CAST(n_chars AS VARCHAR)) AS dup_key,
+         min(doc_id) AS rep_doc_id, count(*) AS cnt
+  FROM documents GROUP BY 2 HAVING count(*) > 1
+) ORDER BY mode, rep_doc_id, dup_key
 """
 
 
@@ -1498,6 +1486,92 @@ SELECT user_id, CAST(floor(t / 3600) * 3600 AS BIGINT) AS bucket_start,
                       WHEN value >= pv THEN value - pv
                       ELSE value END) / 3600.0, 9) AS rate
 FROM d GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_stats_tier(spark, sf_dir):
+    """Regression/correlation moment tier (operators/stats): per-user 1h
+    moment sums cascaded to 1d via exact re-centering, slope/corr served
+    from the stored sums (stats_eval). The oracle recomputes the 1d
+    moments and DuckDB's regr_slope/corr DIRECTLY from raw points — so
+    the hash proves rollup, re-centering cascade, and eval in one shot.
+    x is bucket-relative on both sides; the oracle's t is
+    epoch_us(ts)/1e6, bit-identical to Spark's timestamp→double cast
+    (events ts has MICROsecond precision — epoch_ms truncates and would
+    shred sxx)."""
+    from .operators.stats import stats_cascade, stats_eval, stats_rollup
+
+    ev = load(spark, sf_dir, "events")
+    t1h = stats_rollup(ev, "1h", key_col="user_id", time_col="ts", value_col="value")
+    out = stats_eval(stats_cascade(t1h, "1d", key_col="user_id"))
+    return out.select(
+        "user_id",
+        "bucket_start",
+        "n",
+        F.round("sx", 4).alias("sx"),
+        F.round("sy", 4).alias("sy"),
+        F.round("sxx", 2).alias("sxx"),
+        F.round("sxy", 2).alias("sxy"),
+        F.round("slope", 6).alias("slope"),
+        F.round("corr", 6).alias("corr"),
+    ).orderBy("user_id", "bucket_start")
+
+
+SQL_STATS_TIER = """
+WITH b AS (
+  SELECT user_id,
+         CAST(floor((epoch_us(ts)/1000000.0)/86400)*86400 AS BIGINT) AS bucket_start,
+         epoch_us(ts)/1000000.0
+           - floor((epoch_us(ts)/1000000.0)/86400)*86400 AS x,
+         value AS y
+  FROM events WHERE value IS NOT NULL)
+SELECT user_id, bucket_start,
+       count(*) AS n,
+       round(sum(x), 4) AS sx,
+       round(sum(y), 4) AS sy,
+       round(sum(x*x), 2) AS sxx,
+       round(sum(x*y), 2) AS sxy,
+       round(regr_slope(y, x), 6) AS slope,
+       round(corr(x, y), 6) AS corr
+FROM b GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_histogram_tier(spark, sf_dir):
+    """Fixed-bin histogram tier (operators/histogram): per-user 1h
+    32-bin histograms over [0, 256) cascaded to 1d (integer zip_with
+    merge — bit-equal to direct by construction), stored counts arrays
+    exploded to (slot, cnt) rows. INTEGER-exact end to end: the oracle
+    bins raw points with the same slot arithmetic (width 8 is exact
+    binary) and plain-counts per (user, day, slot) — no rounding
+    anywhere. Values reach 490, so the overflow slot (33) is exercised."""
+    from .operators.histogram import histogram_cascade, histogram_rollup
+
+    ev = load(spark, sf_dir, "events")
+    t1h = histogram_rollup(
+        ev, "1h", lo=0.0, hi=256.0, nbins=32,
+        key_col="user_id", time_col="ts", value_col="value",
+    )
+    t1d = histogram_cascade(t1h, "1d", key_col="user_id")
+    return (
+        t1d.select(
+            "user_id", "bucket_start", F.posexplode("counts").alias("slot", "cnt")
+        )
+        .where(F.col("cnt") > 0)
+        .orderBy("user_id", "bucket_start", "slot")
+    )
+
+
+SQL_HISTOGRAM_TIER = """
+WITH s AS (
+  SELECT user_id,
+         CAST(floor((epoch_us(ts)/1000000.0)/86400)*86400 AS BIGINT) AS bucket_start,
+         CASE WHEN value < 0.0 THEN 0
+              WHEN value >= 256.0 THEN 33
+              ELSE CAST(floor((value - 0.0)/8.0) + 1 AS INT) END AS slot
+  FROM events WHERE value IS NOT NULL)
+SELECT user_id, bucket_start, slot, count(*) AS cnt
+FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
@@ -2257,14 +2331,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q_stream_rollup_1m": (q_stream_rollup_1m, SQL_STREAM_ROLLUP_1M),
     "q_downsample_m4": (q_downsample_m4, SQL_DOWNSAMPLE_M4),
     "q_asof_join": (q_asof_join, SQL_ASOF_JOIN),
-    "q_asof_forward": (q_asof_forward, SQL_ASOF_FORWARD),
-    "q_asof_nearest": (q_asof_nearest, SQL_ASOF_NEAREST),
+    "q_asof_fwd_near": (q_asof_fwd_near, SQL_ASOF_FWD_NEAR),
     "q_head_tail_avg": (q_head_tail_avg, SQL_HEAD_TAIL),
     "q_level_shift_days": (q_level_shift_days, SQL_LEVEL_SHIFT),
     "q_global_mad": (q_global_mad, SQL_GLOBAL_MAD),
     "q_yty_diff": (q_yty_diff, SQL_YTY_DIFF),
     "q_dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
-    "q_dedup_keyed": (q_dedup_keyed, SQL_DEDUP_KEYED),
     "q_token_count": (q_token_count, SQL_TOKEN_COUNT),
     "q_text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "q_word_overlap_pairs": (q_word_overlap_pairs, SQL_WORD_OVERLAP),
@@ -2277,6 +2349,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q_supplier_revenue": (q_supplier_revenue, SQL_SUPPLIER_REVENUE),
     "q_quantile_tier": (q_quantile_tier, SQL_QUANTILE_TIER),
     "q_counter_tier": (q_counter_tier, SQL_COUNTER_TIER),
+    "q_stats_tier": (q_stats_tier, SQL_STATS_TIER),
+    "q_histogram_tier": (q_histogram_tier, SQL_HISTOGRAM_TIER),
     # rows-only (non-SQL-expressible; parity via pytest instead)
     "q_correct_series": (q_correct_series, None),
     "q_correct_chunked": (q_correct_chunked, None),
