@@ -1,0 +1,120 @@
+"""Content-drift detection over per-url crawl histories.
+
+The north-star framing treats each url's crawl history as a sensor
+series; this operator is the CONTENT counterpart of the numeric jump
+detector: "when did this page actually change, and how much?" across
+recrawls — the signal a crawl scheduler, a dedup-aware trainer, or a
+freshness-weighted sampler needs at corpus scale.
+
+Per crawl of a url (ordered by ``warc_ts``) it emits:
+
+- ``exact_hash``      — xxhash64 of the raw text (byte-identity signal;
+  the reference pipeline's "extracted text stays byte-identical per
+  url" invariant makes this hash stable across engine versions),
+- ``simhash``         — 64-bit Charikar signature via the vectorized
+  Arrow vote fold shared with dedup (``operators/dedup``: JVM-hashed
+  tokens, one ``unpackbits``/``reduceat`` pass per batch),
+- ``hamming``         — bit distance to the PREVIOUS crawl's simhash
+  (pure JVM: ``bit_count(prev XOR cur)``),
+- ``change``          — classification:
+
+  =============  =====================================================
+  ``first``      no previous crawl
+  ``unchanged``  byte-identical text (exact_hash equal)
+  ``cosmetic``   bytes differ but token distribution doesn't move:
+                 hamming ≤ threshold (whitespace / boilerplate jitter)
+  ``rewrite``    hamming > threshold — real content change
+  =============  =====================================================
+
+Scale shape: one Arrow projection for the signatures (no shuffle), ONE
+hash shuffle by url for the lag window — the same partitioning the
+correction kernel and the tier stores already use, so on a bucketed
+page store the exchange disappears. Nothing driver-side; skewed hot
+urls cost one window partition each (bounded by crawl count, not text
+size, because signatures are computed before the shuffle).
+
+Duplicate timestamps: the window orders by (warc_ts, exact_hash) so
+re-fetches landing on the same capture time classify deterministically.
+
+``drift_summary`` rolls per-crawl classes up to one row per url —
+crawl counts by class, rewrite rate, mean/max hamming — the per-series
+"how volatile is this page" feature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["content_drift", "drift_summary"]
+
+
+def content_drift(
+    pages: DataFrame,
+    url_col: str = "url",
+    time_col: str = "warc_ts",
+    text_col: str = "text",
+    hamming_threshold: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """Classify every crawl of every url against its previous crawl.
+
+    ``hamming_threshold``: max simhash bit distance still considered
+    cosmetic. 3 matches the near-dup convention used by
+    ``simhash_near_duplicates``; raise it to absorb more template noise.
+    ``portable=True`` swaps xxhash64 token hashing for the md5-prefix
+    Carter–Wegman family (engine-portable, used by the value-checked
+    dedup twins) — same fold, same classification law.
+    """
+    # lazy: dedup's module-scope pandas_udf needs an active SparkSession
+    from .dedup import _simhash_fold, _token_hashes
+
+    sig = pages.select(
+        F.col(url_col).alias("url"),
+        F.col(time_col).alias("t"),
+        F.xxhash64(F.coalesce(F.col(text_col), F.lit(""))).alias("exact_hash"),
+        _simhash_fold(_token_hashes(text_col, portable=portable)).alias("simhash"),
+    )
+    w = Window.partitionBy("url").orderBy("t", "exact_hash")
+    prev_exact = F.lag("exact_hash").over(w)
+    prev_sig = F.lag("simhash").over(w)
+    hamming = F.bit_count(F.col("simhash").bitwiseXOR(prev_sig))
+    return sig.select(
+        "url",
+        "t",
+        "exact_hash",
+        "simhash",
+        hamming.alias("hamming"),
+        F.when(prev_exact.isNull(), F.lit("first"))
+        .when(prev_exact == F.col("exact_hash"), F.lit("unchanged"))
+        .when(hamming <= hamming_threshold, F.lit("cosmetic"))
+        .otherwise(F.lit("rewrite"))
+        .alias("change"),
+    )
+
+
+def drift_summary(drifts: DataFrame) -> DataFrame:
+    """One row per url: crawl counts by class, rewrite rate over the
+    recrawls (first crawl excluded from the denominator), and the
+    hamming profile. A second small aggregate over ``content_drift``
+    output — map-side combining, same url clustering, no extra width."""
+    recrawls = F.count("*") - F.sum(F.when(F.col("change") == "first", 1).otherwise(0))
+    n_rewrites = F.sum(F.when(F.col("change") == "rewrite", 1).otherwise(0))
+    return (
+        drifts.groupBy("url")
+        .agg(
+            F.count("*").alias("n_crawls"),
+            n_rewrites.alias("n_rewrites"),
+            F.sum(F.when(F.col("change") == "cosmetic", 1).otherwise(0)).alias(
+                "n_cosmetic"
+            ),
+            F.sum(F.when(F.col("change") == "unchanged", 1).otherwise(0)).alias(
+                "n_unchanged"
+            ),
+            F.try_divide(n_rewrites.cast("double"), recrawls.cast("double")).alias(
+                "rewrite_rate"
+            ),
+            F.avg("hamming").alias("mean_hamming"),
+            F.max("hamming").alias("max_hamming"),
+        )
+    )
