@@ -105,6 +105,35 @@ def main():
         "holt_smooth": lambda: _drain(holt_smooth(s, 0.3, 0.1)),
         "seasonal_decompose_p24": lambda: _drain(seasonal_decompose(s, 24)),
     }
+    # content drift: own synthetic crawl table (20k urls × 10 crawls,
+    # ~40-token pages, every 4th crawl rewritten) — JVM-generated text
+    from series_correction_project_updated_spark.operators.drift import content_drift
+
+    crawls = (
+        spark.range(0, 200_000, 1, numPartitions=32)
+        .select(
+            (F.col("id") % 20_000).cast("string").alias("url"),
+            (F.col("id") / 20_000).cast("long").alias("i"),
+        )
+        .select(
+            "url",
+            (1_700_000_000.0 + F.col("i") * 86400.0).alias("warc_ts"),
+            F.concat_ws(
+                " ",
+                F.array_repeat(
+                    F.format_string(
+                        "tok%d", F.xxhash64("url", (F.col("i") / 4).cast("long")) % 5000
+                    ),
+                    40,
+                ),
+            ).alias("text"),
+        )
+        .cache()
+    )
+    n_crawls = crawls.count()
+    phase1["content_drift_200k_crawls"] = lambda: _drain(
+        content_drift(crawls, time_col="warc_ts")
+    )
     # PHASE 2 — tier-input ops, fed from cached 1m tiers (the intended
     # shape: cascades/eval read stored tiers, never raw)
     t1m_q = quantile_rollup(s, "1m", k=64)
@@ -124,6 +153,14 @@ def main():
             histogram_quantile(t1m_h, 0.95, 0.0, 51000.0)
         ),
     }
+    # ACF over the 1m numeric tier (~1.1M buckets × 24 lags exploded)
+    from series_correction_project_updated_spark.operators.lagcorr import autocorr
+    from series_correction_project_updated_spark.operators.rollup import rollup
+
+    t1m_n = rollup(s, "1m").select(
+        "series_key", "bucket_start", F.col("vsum").alias("value")
+    )
+    phase2["lagcorr_acf24_1m_tier"] = lambda: _drain(autocorr(t1m_n, 24, 60.0))
 
     def _time(ops, results):
         for fn in ops.values():
@@ -147,7 +184,11 @@ def main():
     t1m_c.cache().count()
     t1m_s.cache().count()
     t1m_h.cache().count()
+    t1m_n.cache().count()
     _time(phase2, results)
+    d = results["content_drift_200k_crawls"]
+    d["crawls"] = n_crawls
+    d["points_per_sec"] = round(n_crawls / d["sec"])  # crawls/s, not series pts
     p_after = _cpu_probe()
 
     print(

@@ -55,7 +55,8 @@ def test_matches_pandas_autocorr(spark, tier):
         assert got[lag] == pytest.approx(s.autocorr(lag), abs=1e-9)
 
 
-def test_matches_duckdb_selfjoin(spark, tier):
+@pytest.mark.parametrize("strategy", ["window", "join"])
+def test_matches_duckdb_selfjoin(spark, tier, strategy):
     pdf = tier.toPandas()
     con = duckdb.connect()
     con.register("g", pdf)
@@ -70,14 +71,15 @@ def test_matches_duckdb_selfjoin(spark, tier):
         GROUP BY 1, 2
         """
     ).df()
-    got = lag_corr(tier, [1, 7, 24], STEP).toPandas()
+    got = lag_corr(tier, [1, 7, 24], STEP, strategy=strategy).toPandas()
     m = got.merge(want, on=["series_key", "lag"], suffixes=("_g", "_w"))
     assert len(m) == len(want) == len(got)
     assert (m["n_g"] == m["n_w"]).all()
     np.testing.assert_allclose(m["corr_g"], m["corr_w"], atol=1e-9)
 
 
-def test_ccf_recovers_shift(spark):
+@pytest.mark.parametrize("strategy", ["window", "join"])
+def test_ccf_recovers_shift(spark, strategy):
     """y(t) = x(t - 3 buckets): CCF peaks (corr == 1) at lag +3."""
     xs = [math.sin(0.9 * b) + 0.3 * math.sin(2.7 * b + 1) for b in range(200)]
     x = [("k", b * 3600, xs[b]) for b in range(200)]
@@ -87,7 +89,7 @@ def test_ccf_recovers_shift(spark):
     ydf = spark.createDataFrame(y, schema)
     got = {
         r["lag"]: r["corr"]
-        for r in lag_corr(xdf, [-3, 0, 3, 5], STEP, y=ydf).collect()
+        for r in lag_corr(xdf, [-3, 0, 3, 5], STEP, y=ydf, strategy=strategy).collect()
     }
     assert got[3] == pytest.approx(1.0, abs=1e-12)
     # exact-copy alignment is the unique maximum; other lags see the
@@ -117,6 +119,9 @@ def test_plan_shape(spark, tier):
     )
     assert "CartesianProduct" not in plan and "Python" not in plan
     assert "HashAggregate" in plan  # moment sums, map-side partials
+    # window strategy: NO join anywhere — one sort serves every lag
+    assert "Join" not in plan
+    assert len(re.findall(r"^\s*[+\-:* ]*Window\b", plan, re.M)) == 1
 
 
 def test_validation(spark, tier):
