@@ -134,6 +134,25 @@ def main():
     phase1["content_drift_200k_crawls"] = lambda: _drain(
         content_drift(crawls, time_col="warc_ts")
     )
+    # corpus-hygiene passes over the same 200k-doc text table
+    from series_correction_project_updated_spark.operators.decontam import (
+        flag_contaminated,
+    )
+    from series_correction_project_updated_spark.operators.repetition import (
+        repetition_scores,
+    )
+
+    docs = crawls.select(
+        F.concat_ws("#", "url", F.col("warc_ts").cast("string")).alias("doc_id"),
+        "text",
+    )
+    bench_docs = docs.limit(200).select("text")
+    phase1["decontam_13gram_200k_docs"] = lambda: _drain(
+        flag_contaminated(docs, bench_docs, n=13)
+    )
+    phase1["repetition_scores_200k_docs"] = lambda: _drain(
+        repetition_scores(docs, ns=(2, 3))
+    )
     # PHASE 2 — tier-input ops, fed from cached 1m tiers (the intended
     # shape: cascades/eval read stored tiers, never raw)
     t1m_q = quantile_rollup(s, "1m", k=64)
@@ -186,9 +205,14 @@ def main():
     t1m_h.cache().count()
     t1m_n.cache().count()
     _time(phase2, results)
-    d = results["content_drift_200k_crawls"]
-    d["crawls"] = n_crawls
-    d["points_per_sec"] = round(n_crawls / d["sec"])  # crawls/s, not series pts
+    for doc_op in (
+        "content_drift_200k_crawls",
+        "decontam_13gram_200k_docs",
+        "repetition_scores_200k_docs",
+    ):
+        d = results[doc_op]
+        d["crawls"] = n_crawls
+        d["points_per_sec"] = round(n_crawls / d["sec"])  # docs/s, not series pts
     p_after = _cpu_probe()
 
     print(
