@@ -101,6 +101,20 @@ def main():
                 fromlist=["time_weighted_rollup"],
             ).time_weighted_rollup(s, "1m")
         ),
+        "stateagg_rollup_1m": lambda: _drain(
+            __import__(
+                "series_correction_project_updated_spark.operators.stateagg",
+                fromlist=["state_rollup"],
+            ).state_rollup(
+                s.withColumn(
+                    "state",
+                    F.when(F.col("value") < 15000, "low")
+                    .when(F.col("value") < 35000, "mid")
+                    .otherwise("high"),
+                ),
+                "1m",
+            )
+        ),
         "ewma_smooth": lambda: _drain(ewma_smooth(s, 0.1)),
         "holt_smooth": lambda: _drain(holt_smooth(s, 0.3, 0.1)),
         "seasonal_decompose_p24": lambda: _drain(seasonal_decompose(s, 24)),
