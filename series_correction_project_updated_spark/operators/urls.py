@@ -101,8 +101,17 @@ def canonicalize_url(
     tracking_params: Sequence[str] = TRACKING_PARAMS,
 ) -> Column:
     """Canonical form of a URL as one pure-JVM expression (see module
-    docstring for the law). NULL/empty input → NULL."""
+    docstring for the law). NULL/empty input → NULL, and so does any
+    input with no parseable host (``?``, ``#``, ``https://`` …) — a
+    hostless string cannot key a crawl series. Protocol-relative
+    ``//host/path`` resolves to http. Path dot-segments (``/../``) are
+    NOT resolved — that is reference resolution, not normalization, and
+    collapsing them can change what a server serves."""
     url = F.col(url_col) if isinstance(url_col, str) else url_col
+    # protocol-relative: give the authority a scheme so the regex sees it
+    url = F.when(
+        F.trim(url).startswith("//"), F.concat(F.lit("http:"), F.trim(url))
+    ).otherwise(url)
     scheme = F.lower(_part(url, 1))
     scheme = F.when(scheme == "", F.lit("http")).otherwise(scheme)
     host = url_host(url)
@@ -125,6 +134,11 @@ def canonicalize_url(
     qpart = F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query))
 
     out = F.concat(scheme, F.lit("://"), hostport, path, qpart)
+    # a series key needs a real host: dns labels / punycode / IPv4, or a
+    # bracketed IPv6 literal — everything else (empty, ':', stray
+    # punctuation) returns NULL rather than minting a garbage key
+    valid_host = host.rlike(r"^([a-z0-9._%~-]+|\[[0-9a-f:.]+\])$")
     return F.when(
-        F.trim(F.coalesce(url, F.lit(""))) == "", F.lit(None).cast("string")
+        (F.trim(F.coalesce(url, F.lit(""))) == "") | ~valid_host,
+        F.lit(None).cast("string"),
     ).otherwise(out)

@@ -151,3 +151,24 @@ def test_drift_composes_over_canonical_urls(spark):
     )
     out = content_drift(pages).orderBy("t").collect()
     assert [r["change"] for r in out] == ["first", "unchanged", "rewrite"]
+
+
+def test_degenerate_inputs(spark):
+    """Hostless strings can't key a crawl series → NULL, never a
+    garbage 'http:///' key; protocol-relative urls resolve to http."""
+    cases = {
+        "https://": None,
+        "?": None,
+        "#": None,
+        ":": None,
+        "https://?x=1": None,
+        "http:///path": None,
+        "//host/path": "http://host/path",
+        "https://h#": "https://h/",
+        "https://h?": "https://h/",
+        "https://h/p?&&a=1&": "https://h/p?a=1",
+        # dot-segments preserved (reference resolution is out of scope)
+        "HTTPS://H/../a/./b": "https://h/../a/./b",
+    }
+    got = _canon(spark, list(cases))
+    assert got == list(cases.values())
