@@ -80,20 +80,25 @@ def main() -> None:
     ).where(F.col("url").isNotNull())
 
     drift = content_drift(pages, hamming_threshold=args.hamming_threshold)
-    # crawl identity for the joins below: (url, t, exact_hash) — drift's
-    # own dedup key under duplicate capture timestamps
+    # crawl identity for the joins below: (url, t, exact_hash) — the
+    # text hash disambiguates duplicate capture timestamps (two fetches
+    # at the same warc_ts with different bodies), matching drift's own
+    # tiebreaker; a (url, t)-only key would fan the join out 2×2 there
+    crawl_id = F.concat_ws(
+        "#",
+        "url",
+        F.col("warc_ts").cast("string"),
+        F.xxhash64(F.coalesce(F.col("text"), F.lit(""))).cast("string"),
+    )
     rep = repetition_scores(
-        pages.select(
-            F.concat_ws(
-                "#", "url", F.col("warc_ts").cast("string")
-            ).alias("doc_id"),
-            "text",
-        ),
-        ns=(2, 3),
+        pages.select(crawl_id.alias("doc_id"), "text"), ns=(2, 3)
+    )
+    drift_id = F.concat_ws(
+        "#", drift["url"], F.col("t").cast("string"), F.col("exact_hash").cast("string")
     )
     signals = drift.join(
         rep.withColumnRenamed("doc_id", "_crawl_id"),
-        F.concat_ws("#", drift["url"], F.col("t").cast("string")) == F.col("_crawl_id"),
+        drift_id == F.col("_crawl_id"),
         "left",
     ).drop("_crawl_id")
 
@@ -104,18 +109,19 @@ def main() -> None:
         )
 
         bench = spark.read.parquet(args.benchmark)
-        docs = pages.select(
-            F.concat_ws("#", "url", F.col("warc_ts").cast("string")).alias("doc_id"),
-            "text",
-        )
+        docs = pages.select(crawl_id.alias("doc_id"), "text")
         flags = flag_contaminated(docs, bench, n=args.ngram)
         signals = signals.join(
             flags.withColumnRenamed("doc_id", "_crawl_id"),
-            F.concat_ws("#", signals["url"], F.col("t").cast("string"))
+            F.concat_ws(
+                "#",
+                signals["url"],
+                F.col("t").cast("string"),
+                signals["exact_hash"].cast("string"),
+            )
             == F.col("_crawl_id"),
             "left",
         ).drop("_crawl_id")
-        n_contaminated = flags.where("contaminated").count()
 
     sig_path = os.path.join(args.out, "signals")
     signals.write.mode("overwrite").parquet(sig_path)
@@ -127,6 +133,10 @@ def main() -> None:
         r["change"]: r["cnt"]
         for r in sig.groupBy("change").agg(F.count("*").alias("cnt")).collect()
     }
+    if args.benchmark:
+        # from the written table — a flags.count() here would re-run the
+        # whole n-gram explode + broadcast join a second time
+        n_contaminated = sig.where("contaminated").count()
     report = {
         "rows": sig.count(),
         "urls": spark.read.parquet(sum_path).count(),

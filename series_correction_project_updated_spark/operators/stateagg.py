@@ -52,7 +52,11 @@ def state_rollup(
     threshold so a series that went dark doesn't smear its last state
     across the outage."""
     sec = TIER_SECONDS[tier]
-    w = Window.partitionBy(key_col).orderBy(time_col)
+    # state as tiebreaker: under duplicate timestamps the zero-width first
+    # row drops (the `_t1 > _t0` filter) and the LAST state by string order
+    # owns the segment — deterministic at any parallelism, and the same
+    # (t, state) order the streaming twin sorts by
+    w = Window.partitionBy(key_col).orderBy(time_col, state_col)
     t0 = F.col(time_col).cast("timestamp_ltz").cast("double")
     s = F.col(state_col).cast("string")
     seg = (

@@ -108,6 +108,11 @@ def canonicalize_url(
     NOT resolved — that is reference resolution, not normalization, and
     collapsing them can change what a server serves."""
     url = F.col(url_col) if isinstance(url_col, str) else url_col
+    # non-hierarchical URIs (mailto:, javascript:, tel:, data: — anything
+    # `scheme:` NOT followed by //) are not crawlable pages; without this
+    # gate `mailto:user@example.com` would parse as an authority and mint
+    # a bogus http://example.com/ key on the mail domain
+    non_hier = F.trim(url).rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*:(?!//)")
     # protocol-relative: give the authority a scheme so the regex sees it
     url = F.when(
         F.trim(url).startswith("//"), F.concat(F.lit("http:"), F.trim(url))
@@ -125,7 +130,9 @@ def canonicalize_url(
 
     path = url_path(url)
 
-    track_re = "^(" + "|".join(tracking_params) + ")="
+    # (?i): tracking params arrive in any case (UTM_Source=); values keep
+    # their case, only the name match is case-blind
+    track_re = "(?i)^(" + "|".join(tracking_params) + ")="
     params = F.filter(
         F.split(_part(url, 4), "&"),
         lambda p: (p != "") & ~p.rlike(track_re),
@@ -139,6 +146,6 @@ def canonicalize_url(
     # punctuation) returns NULL rather than minting a garbage key
     valid_host = host.rlike(r"^([a-z0-9._%~-]+|\[[0-9a-f:.]+\])$")
     return F.when(
-        (F.trim(F.coalesce(url, F.lit(""))) == "") | ~valid_host,
+        (F.trim(F.coalesce(url, F.lit(""))) == "") | non_hier | ~valid_host,
         F.lit(None).cast("string"),
     ).otherwise(out)

@@ -928,7 +928,11 @@ def q_dedup_exact(spark, sf_dir):
     separate q_dedup_exact / q_dedup_keyed entries to free a registry
     slot — both stay value-checked): content-hash groups (md5 identical
     across engines) and key-collision candidates (same lang, source,
-    n_chars), normalized to (mode, dup_key, rep_doc_id, cnt)."""
+    n_chars), normalized to (mode, dup_key, rep_doc_id, cnt). The keyed
+    dup_key is LENGTH-PREFIXED per field ('3:a|b' ≠ '1:a|1:b') and
+    null-marked, so delimiter injection or a NULL field can never merge
+    distinct (lang, source, n_chars) groups the way a bare concat_ws
+    would (concat_ws SKIPS nulls)."""
     docs = load(spark, sf_dir, "documents")
     by_hash = (
         docs.groupBy(F.md5(F.col("text")).alias("dup_key"))
@@ -936,11 +940,18 @@ def q_dedup_exact(spark, sf_dir):
         .where(F.col("cnt") > 1)
         .select(F.lit("hash").alias("mode"), "dup_key", "rep_doc_id", "cnt")
     )
+
+    def enc(c):
+        c = c.cast("string")
+        return F.when(c.isNull(), F.lit("~null~")).otherwise(
+            F.concat(F.length(c).cast("string"), F.lit(":"), c)
+        )
+
     by_key = (
         docs.groupBy(
-            F.concat_ws("|", "lang", "source", F.col("n_chars").cast("string")).alias(
-                "dup_key"
-            )
+            F.concat_ws(
+                "|", enc(F.col("lang")), enc(F.col("source")), enc(F.col("n_chars"))
+            ).alias("dup_key")
         )
         .agg(F.min("doc_id").alias("rep_doc_id"), F.count("*").alias("cnt"))
         .where(F.col("cnt") > 1)
@@ -956,7 +967,15 @@ SELECT * FROM (
   FROM documents GROUP BY md5(text) HAVING count(*) > 1
   UNION ALL
   SELECT 'keyed' AS mode,
-         concat_ws('|', lang, source, CAST(n_chars AS VARCHAR)) AS dup_key,
+         concat_ws('|',
+           CASE WHEN lang IS NULL THEN '~null~'
+                ELSE concat(CAST(length(lang) AS VARCHAR), ':', lang) END,
+           CASE WHEN source IS NULL THEN '~null~'
+                ELSE concat(CAST(length(source) AS VARCHAR), ':', source) END,
+           CASE WHEN n_chars IS NULL THEN '~null~'
+                ELSE concat(CAST(length(CAST(n_chars AS VARCHAR)) AS VARCHAR),
+                            ':', CAST(n_chars AS VARCHAR)) END
+         ) AS dup_key,
          min(doc_id) AS rep_doc_id, count(*) AS cnt
   FROM documents GROUP BY 2 HAVING count(*) > 1
 ) ORDER BY mode, rep_doc_id, dup_key

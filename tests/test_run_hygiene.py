@@ -46,3 +46,42 @@ def test_run_hygiene_end_to_end(spark, tmp_path):
     assert sig.where("change = 'first'").count() == report["urls"]
     # every crawl got its repetition row (the join key law held)
     assert sig.where("top_2gram_frac IS NULL AND change != 'first'").count() == 0
+
+
+def test_duplicate_timestamps_do_not_fan_out(spark, tmp_path):
+    """Two fetches of the same url at the same warc_ts with different
+    bodies: the crawl-identity key includes the text hash, so the signal
+    joins stay 1:1 (a (url, ts)-only key would produce 2x2 rows)."""
+    import pandas as pd
+
+    pages = pd.DataFrame(
+        {
+            "url": ["https://a.com/p"] * 2 + ["https://a.com/q"],
+            "warc_ts": pd.to_datetime(
+                ["2024-01-01T00:00:00", "2024-01-01T00:00:00", "2024-01-02T00:00:00"]
+            ),
+            "html": [b""] * 3,
+            "text": ["body one here", "body two here entirely", "other page"],
+            "lang": ["en"] * 3,
+        }
+    )
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(pages).write.parquet(src)
+    out = str(tmp_path / "hyg")
+    res = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(os.path.dirname(__file__), "..", "jobs", "run_hygiene.py"),
+            "--input", src, "--out", out,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    report = json.loads(res.stdout.strip().splitlines()[-1])
+    assert report["rows"] == 3  # one signal row per crawl, no fan-out
+    sig = spark.read.parquet(report["signals_path"])
+    assert sig.count() == 3
+    assert sig.where("top_2gram_frac IS NULL").count() == 0

@@ -144,3 +144,15 @@ def test_plan_shape(spark):
     plan = state_rollup(df, "1m")._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "CartesianProduct" not in plan
     assert len(re.findall(r"^\s*[+\-:* ]*Exchange\b", plan, re.M)) == 1
+
+
+def test_duplicate_timestamp_deterministic(spark):
+    """Two states at the same t: the zero-width first (by state order)
+    drops, the last owns the segment — identical at any partitioning."""
+    rows = [("k", 100.0, "up"), ("k", 100.0, "down"), ("k", 160.0, "up")]
+    df = spark.createDataFrame(rows, "series_key string, t double, state string")
+    a = sorted(map(tuple, state_rollup(df, "1m").collect()))
+    b = sorted(map(tuple, state_rollup(df.repartition(7), "1m").collect()))
+    assert a == b
+    # 'up' > 'down' in string order → 'up' owns [100, 160)
+    assert a == [("k", 60, "up", 20.0), ("k", 120, "up", 40.0)]

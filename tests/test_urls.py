@@ -172,3 +172,19 @@ def test_degenerate_inputs(spark):
     }
     got = _canon(spark, list(cases))
     assert got == list(cases.values())
+
+
+def test_tracking_params_case_blind(spark):
+    got = _canon(spark, ["https://a.com/p?UTM_Source=x&Gclid=1&id=7"])
+    assert got == ["https://a.com/p?id=7"]
+
+
+def test_non_hierarchical_schemes_null(spark):
+    """mailto:/javascript:/tel:/data: hrefs are not crawlable pages and
+    must not mint keys on the mail domain."""
+    got = _canon(
+        spark,
+        ["mailto:user@example.com", "javascript:void(0)", "tel:+15551234567",
+         "data:text/plain;base64,aGk=", "https://example.com/ok"],
+    )
+    assert got == [None, None, None, None, "https://example.com/ok"]
