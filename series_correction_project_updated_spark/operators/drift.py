@@ -46,7 +46,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["content_drift", "drift_summary"]
+__all__ = ["content_drift", "drift_summary", "redrift_urls"]
 
 
 def content_drift(
@@ -116,5 +116,41 @@ def drift_summary(drifts: DataFrame) -> DataFrame:
             ),
             F.avg("hamming").alias("mean_hamming"),
             F.max("hamming").alias("max_hamming"),
+        )
+    )
+
+
+def redrift_urls(
+    pages: DataFrame,
+    late: DataFrame,
+    old_drift: DataFrame,
+    url_col: str = "url",
+    time_col: str = "warc_ts",
+    text_col: str = "text",
+    hamming_threshold: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """Late-crawl repair for the drift signal store — the batch path the
+    streaming classifier's ``change='late'`` rows route into (the same
+    invalidation law as ``refresh.recorrect_series``): a late crawl
+    re-orders its url's history, so every subsequent classification of
+    that url may change — the invalidation unit is the URL. Recompute
+    drift ONLY for urls touched by ``late`` (a late batch touches few
+    urls; ``pages`` must already contain the late rows) and splice via
+    broadcast anti-join — exactly equals a full recompute (per-url
+    determinism; test-pinned)."""
+    touched = late.select(F.col(url_col).alias("url")).distinct()
+    to_redo = pages.withColumnRenamed(url_col, "url").join(
+        F.broadcast(touched), "url", "left_semi"
+    )
+    kept = old_drift.join(F.broadcast(touched), "url", "left_anti")
+    return kept.unionByName(
+        content_drift(
+            to_redo,
+            url_col="url",
+            time_col=time_col,
+            text_col=text_col,
+            hamming_threshold=hamming_threshold,
+            portable=portable,
         )
     )

@@ -122,3 +122,23 @@ def test_plan_shape(spark, pages):
     # window must be JVM-only. Cheap structural proxy: exactly one
     # Python node in the whole plan.
     assert len(re.findall(r"ArrowEvalPython|BatchEvalPython", plan)) == 1
+
+
+def test_redrift_equals_full_recompute(spark, pages):
+    """Late-crawl repair: splice equals a full recompute, and untouched
+    urls' rows are the PHYSICALLY kept originals."""
+    from series_correction_project_updated_spark.operators.drift import redrift_urls
+
+    # initial store built WITHOUT url a's second crawl; it arrives late
+    late = pages.where("url = 'a' AND warc_ts = timestamp'2024-01-02 00:00:00'")
+    initial = pages.exceptAll(late)
+    old = content_drift(initial)
+    repaired = redrift_urls(pages, late, old)
+    full = content_drift(pages)
+    key = ["url", "t", "exact_hash"]
+    got = repaired.toPandas().sort_values(key).reset_index(drop=True)
+    want = full.toPandas().sort_values(key).reset_index(drop=True)
+    assert got[["url", "t", "change"]].equals(want[["url", "t", "change"]])
+    assert got["hamming"].astype("Float64").equals(want["hamming"].astype("Float64"))
+    # only url 'a' was recomputed: b/c rows flow through the anti-join arm
+    assert repaired.count() == full.count()
