@@ -28,6 +28,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # Engine-portable 60-bit hash + affine family, used by the ``portable=True``
 # variants so the SAME algorithm can be value-checked against a DuckDB oracle
@@ -272,13 +273,14 @@ def simhash_signatures(
     return sig.withColumn("band", F.shiftrightunsigned("simhash", 48).cast("int"))
 
 
-@F.pandas_udf("long")
-def _simhash_fold(hash_arrays: pd.Series) -> pd.Series:
-    """Vectorized SimHash vote fold over per-row token-hash arrays (module
-    scope so the UDF is pickled/registered once, not per query build)."""
+def simhash_fold_np(hash_arrays) -> np.ndarray:
+    """The SimHash vote fold as a plain numpy function over a sequence of
+    per-row token-hash arrays — shared by the Arrow UDF below and the
+    clustered mapInPandas paths (drift's exchange-free variant), so there
+    is exactly ONE fold implementation in the codebase."""
     lens = np.fromiter((len(a) for a in hash_arrays), dtype=np.int64, count=len(hash_arrays))
     if lens.sum() == 0:
-        return pd.Series(np.zeros(len(hash_arrays), dtype=np.int64))
+        return np.zeros(len(hash_arrays), dtype=np.int64)
     flat = np.concatenate([np.asarray(a, dtype=np.int64) for a in hash_arrays if len(a)])
     # (n_tokens, 64) bit matrix: little-endian byte order within each
     # uint64 word means unpackbits(bitorder='little') column i == bit i
@@ -292,7 +294,16 @@ def _simhash_fold(hash_arrays: pd.Series) -> pd.Series:
     packed[nonempty] = np.packbits(
         (sums > 0).astype(np.uint8), axis=1, bitorder="little"
     ).view(np.uint64)[:, 0]
-    return pd.Series(packed.view(np.int64))
+    return packed.view(np.int64)
+
+
+@F.pandas_udf(T.LongType())  # DataType, not DDL string: the fold-helper
+# reference makes workers IMPORT this module, and a "long" DDL string
+# would need an active session to parse at import time
+def _simhash_fold(hash_arrays: pd.Series) -> pd.Series:
+    """Arrow-batch wrapper over ``simhash_fold_np`` (module scope so the
+    UDF is pickled/registered once, not per query build)."""
+    return pd.Series(simhash_fold_np(hash_arrays))
 
 
 # A third shape was measured and rejected: explode token hashes → 64 per-bit

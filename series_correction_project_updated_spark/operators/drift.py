@@ -43,10 +43,34 @@ crawl counts by class, rewrite rate, mean/max hamming — the per-series
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = ["content_drift", "drift_summary", "redrift_urls"]
+
+DRIFT_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("t", T.DoubleType(), False),
+        T.StructField("exact_hash", T.LongType(), False),
+        T.StructField("simhash", T.LongType(), False),
+        T.StructField("hamming", T.IntegerType(), True),
+        T.StructField("change", T.StringType(), False),
+    ]
+)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of int64 values (numpy<2 has no bitwise_count).
+    Shared with streaming/drift_stream."""
+    return (
+        np.unpackbits(x.astype(np.int64).view(np.uint8).reshape(-1, 8), axis=1)
+        .sum(axis=1)
+        .astype(np.int64)
+    )
 
 
 def content_drift(
@@ -56,6 +80,7 @@ def content_drift(
     text_col: str = "text",
     hamming_threshold: int = 3,
     portable: bool = False,
+    assume_clustered: bool = False,
 ) -> DataFrame:
     """Classify every crawl of every url against its previous crawl.
 
@@ -65,9 +90,73 @@ def content_drift(
     ``portable=True`` swaps xxhash64 token hashing for the md5-prefix
     Carter–Wegman family (engine-portable, used by the value-checked
     dedup twins) — same fold, same classification law.
+
+    ``assume_clustered=True``: the caller guarantees no url straddles
+    input partitions (a url-bucketed page store read via
+    ``sources/bucketstore``) — the window shuffle disappears and the
+    whole job is scan → one ``mapInPandas`` (the correction kernel's
+    exchange-free law). Needed because an ArrowEvalPython projection
+    does NOT propagate the bucketed scan's output partitioning, so the
+    default window path re-shuffles even over a bucketed store
+    (measured; a pure-JVM window over the same table plans 0
+    exchanges). This path returns ``t`` as double epoch seconds (a
+    fixed Arrow schema can't mirror an arbitrary input time type);
+    classification law and values are identical (test-pinned).
     """
     # lazy: dedup's module-scope pandas_udf needs an active SparkSession
-    from .dedup import _simhash_fold, _token_hashes
+    from .dedup import _simhash_fold, _token_hashes, simhash_fold_np
+
+    if assume_clustered:
+        thr = int(hamming_threshold)
+        pre = pages.select(
+            F.col(url_col).cast("string").alias("url"),
+            F.col(time_col).cast("timestamp_ltz").cast("double").alias("t"),
+            F.xxhash64(F.coalesce(F.col(text_col), F.lit(""))).alias("exact_hash"),
+            _token_hashes(text_col, portable=portable).alias("_tokh"),
+        )
+
+        def _process_partition(batches):
+            chunks = list(batches)
+            if not chunks:
+                return
+            pdf = pd.concat(chunks, ignore_index=True)
+            pdf["simhash"] = simhash_fold_np(pdf["_tokh"])
+            pdf = pdf.drop(columns=["_tokh"]).sort_values(
+                ["url", "t", "exact_hash"], kind="mergesort"
+            )
+            # shift() on int64 promotes to float64, which corrupts
+            # xxhash64 values past 2^53 — shift on NULLABLE Int64 instead
+            g = pdf.astype({"exact_hash": "Int64", "simhash": "Int64"}).groupby(
+                "url", sort=False
+            )
+            prev_e = g["exact_hash"].shift(1)
+            prev_s = g["simhash"].shift(1)
+            has_prev = prev_e.notna().to_numpy()
+            ham = np.zeros(len(pdf), dtype=np.int64)
+            if has_prev.any():
+                ham[has_prev] = _popcount64(
+                    pdf["simhash"].to_numpy()[has_prev]
+                    ^ prev_s.to_numpy(dtype="int64", na_value=0)[has_prev]
+                )
+            change = np.where(
+                ~has_prev,
+                "first",
+                np.where(
+                    pdf["exact_hash"].to_numpy()
+                    == prev_e.to_numpy(dtype="int64", na_value=0),
+                    "unchanged",
+                    np.where(ham <= thr, "cosmetic", "rewrite"),
+                ),
+            )
+            out = pdf[["url", "t", "exact_hash", "simhash"]].copy()
+            out["hamming"] = pd.array(
+                np.where(has_prev, ham, 0), dtype="Int32"
+            )
+            out.loc[~has_prev, "hamming"] = pd.NA
+            out["change"] = change
+            yield out
+
+        return pre.mapInPandas(_process_partition, schema=DRIFT_SCHEMA)
 
     sig = pages.select(
         F.col(url_col).alias("url"),

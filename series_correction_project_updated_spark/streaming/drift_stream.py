@@ -35,6 +35,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..operators.drift import _popcount64  # one popcount in the codebase
+
 DRIFT_EVENT = T.StructType(
     [
         T.StructField("url", T.StringType(), False),
@@ -53,15 +55,6 @@ _STATE_SCHEMA = T.StructType(
         T.StructField("last_sig", T.LongType()),
     ]
 )
-
-
-def _popcount64(x: np.ndarray) -> np.ndarray:
-    """Vectorized popcount of int64 values (numpy<2 has no bitwise_count)."""
-    return (
-        np.unpackbits(x.astype(np.int64).view(np.uint8).reshape(-1, 8), axis=1)
-        .sum(axis=1)
-        .astype(np.int64)
-    )
 
 
 def content_drift_stream(

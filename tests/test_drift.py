@@ -142,3 +142,38 @@ def test_redrift_equals_full_recompute(spark, pages):
     assert got["hamming"].astype("Float64").equals(want["hamming"].astype("Float64"))
     # only url 'a' was recomputed: b/c rows flow through the anti-join arm
     assert repaired.count() == full.count()
+
+
+def test_clustered_path_exchange_free_over_bucketed_store(spark, tmp_path):
+    """Over a url-bucketed page store the clustered path plans ZERO
+    exchanges (scan -> one mapInPandas) and matches the window path's
+    classification exactly. The window path cannot do this: an
+    ArrowEvalPython projection does not propagate the bucketed scan's
+    partitioning (measured — it re-shuffles even over the bucketed
+    table), which is why the kernel-style fast path exists."""
+    import re as _re
+
+    from series_correction_project_updated_spark.sources.bucketstore import (
+        read_points_bucketed,
+        write_points_bucketed,
+    )
+    from series_correction_project_updated_spark.sources.synth import generate_pages
+
+    pages = generate_pages(spark, n_urls=15, samples_per_url=8)
+    write_points_bucketed(
+        pages, "pages_drift_b", buckets=4, key_col="url", time_col="warc_ts",
+        path=str(tmp_path / "store"),
+    )
+    back = read_points_bucketed(spark, "pages_drift_b")
+    fast = content_drift(back, assume_clustered=True)
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert len(_re.findall(r"^\s*[+\-:* ]*Exchange\b", plan, _re.M)) == 0
+    got = sorted(
+        map(tuple, fast.select("url", "t", "change", "hamming").collect())
+    )
+    want = sorted(
+        (r["url"], r["t"].timestamp(), r["change"], r["hamming"])
+        for r in content_drift(pages).select("url", "t", "change", "hamming").collect()
+    )
+    assert got == want
+    spark.sql("DROP TABLE IF EXISTS pages_drift_b")
