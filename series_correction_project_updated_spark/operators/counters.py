@@ -25,10 +25,16 @@ tiers only get estimate-level laws — counters cascade exactly).
 the LATER bucket, so summing it over any contiguous bucket range equals
 the whole-range increase (test-pinned).
 
-Execution shape: one hash shuffle per tier (``groupBy`` +
-``sort_array(collect_list(struct(t, value)))`` bounded by points per
-bucket, same boundedness as the quantile tier) and ONE JVM higher-order
-``F.aggregate`` fold — no Python, no window over raw points; the
+Execution shape (``strategy="window"``, the default): ONE hash shuffle
+clustering (key, bucket), the within-bucket walk read off a codegen'd
+``lag`` after the window sort, then a plain HashAggregate of primitive
+sums — per-group state O(1) no matter how many points land in a bucket
+(the ``"fold"`` alternative keeps ``sort_array(collect_list)`` + a JVM
+higher-order fold: per-group state O(points/bucket) and ObjectHash-
+Aggregate's sort-based fallback past 64k groups — retained as the
+cross-check shape; both are bit-equal even on float data because the
+post-exchange aggregate consumes each group in window-sorted order,
+i.e. the same left fold — test-pinned). No Python anywhere; the
 boundary pass is a ``lag`` window over the TIER (one row per bucket),
 not raw data. DuckDB-oracle-able via a lag window (tests cross-check).
 """
@@ -96,13 +102,74 @@ def counter_rollup(
     key_col: str = "series_key",
     time_col: str = "t",
     value_col: str = "value",
+    strategy: str = "window",
 ) -> DataFrame:
     """Per-(key, bucket) counter aggregate over raw points. Nulls are
     excluded. Columns: n, first_t/first_v/last_t/last_v (exact envelope),
     inc_within, resets, boundary_increase, boundary_reset,
-    bucket_increase, rate."""
+    bucket_increase, rate.
+
+    Two physical shapes, identical output (equality test-pinned; both
+    walk points in (t, v) order):
+
+    - ``"window"`` (default): one sort per (key, bucket) partition, the
+      walk read off a codegen'd ``lag``, then a plain HashAggregate of
+      primitive sums + ``min/max(struct(t, v))`` for the envelope — no
+      arrays, no ObjectHashAggregate, per-group state O(1) regardless
+      of points per bucket, map-side partials on the agg. The groupBy
+      reuses the window's (key, bucket) clustering so the pair costs
+      ONE exchange total.
+    - ``"fold"``: ``sort_array(collect_list(struct))`` + one JVM
+      higher-order fold — per-group state O(points per bucket), and
+      past the ObjectHashAggregate fallback threshold the whole
+      aggregate degrades to sort-based. Kept as the cross-check shape
+      (it is the form the DuckDB oracle mirrors).
+    """
+    if strategy not in ("window", "fold"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     sec = TIER_SECONDS[tier]
     v = F.col(value_col)
+
+    if strategy == "window":
+        pts = points.where(v.isNotNull()).select(
+            F.col(key_col),
+            _bucket(time_col, sec).alias("bucket_start"),
+            F.col(time_col).cast("timestamp_ltz").cast("double").alias("_t"),
+            v.cast("double").alias("_v"),
+        )
+        w = Window.partitionBy(key_col, "bucket_start").orderBy("_t", "_v")
+        prev_v = F.lag("_v").over(w)
+        contrib = F.when(F.col("_v") >= prev_v, F.col("_v") - prev_v).otherwise(
+            F.col("_v")
+        )
+        stepped = pts.select(
+            key_col,
+            "bucket_start",
+            "_t",
+            "_v",
+            F.when(prev_v.isNull(), F.lit(0.0)).otherwise(contrib).alias("_inc"),
+            F.when(prev_v.isNotNull() & (F.col("_v") < prev_v), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("_reset"),
+        )
+        # primitive min_by/max_by keep the whole aggregate in HashAggregate
+        # (a struct min/max buffer would force SortAggregate — the same
+        # finding as rollup.py's min_by switch). Envelope ties under
+        # duplicate (key, t): min_by is tie-arbitrary where the fold shape
+        # tiebreaks on v — feed unique (key, t) (the tier-store contract)
+        # for shape-identical envelopes.
+        g = stepped.groupBy(key_col, "bucket_start").agg(
+            F.count("*").alias("n"),
+            F.min("_t").alias("first_t"),
+            F.min_by("_v", "_t").alias("first_v"),
+            F.max("_t").alias("last_t"),
+            F.max_by("_v", "_t").alias("last_v"),
+            F.sum("_inc").alias("inc_within"),
+            F.sum("_reset").alias("resets"),
+        )
+        return _with_boundaries(g, key_col, sec)
+
     g = (
         points.where(v.isNotNull())
         .groupBy(F.col(key_col), _bucket(time_col, sec).alias("bucket_start"))

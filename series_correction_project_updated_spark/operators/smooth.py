@@ -30,6 +30,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -279,4 +280,70 @@ def ewma_smooth(
         points.select(*cols)
         .repartition(num_partitions, key_col)
         .mapInPandas(_run, schema=out_schema)
+    )
+
+
+def holt_forecast(
+    points: DataFrame,
+    alpha: float,
+    beta: float,
+    horizon: int,
+    step: float,
+    key_col: str = "series_key",
+    time_col: str = "t",
+    value_col: str = "value",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Project each series ``horizon`` steps past its last observation:
+    Holt's linear-trend forecast ``yhat_{T+k} = l_T + k·t_T`` on the
+    grid ``t_T + k·step`` (the standard h-step rule, e.g. Hyndman &
+    Athanasopoulos, *Forecasting: Principles and Practice* §8.2 — the
+    reference repo stops at smoothing; forecasting is additive surface).
+
+    Output: (key, t, k, yhat) — ``k`` in 1..horizon, one row per future
+    bucket, composable with the real tier for forecast-vs-actual joins
+    (the ``yhat`` residual stream ``holt_smooth`` serves in-sample).
+
+    Scale shape: ``holt_smooth``'s one shuffle + Arrow pass, then a
+    per-key ``max(struct(t, level, trend))`` hash aggregate (map-side
+    partials reuse the smoother's key clustering) and a width-``horizon``
+    ``sequence`` explode of the 1-row-per-key frontier — the expensive
+    part scales with points, the generate with keys × horizon, and
+    nothing is driver-side. Under duplicate last timestamps the struct
+    max tiebreaks on (level, trend) deterministically; feed a tier grid
+    (unique (key, bucket)) for well-defined semantics.
+    """
+    if horizon < 1:
+        raise ValueError(f"horizon must be >= 1, got {horizon}")
+    if step <= 0:
+        raise ValueError(f"step must be > 0, got {step}")
+    sm = holt_smooth(
+        points,
+        alpha,
+        beta,
+        key_col=key_col,
+        time_col=time_col,
+        value_col=value_col,
+        num_partitions=num_partitions,
+    )
+    frontier = (
+        sm.where(F.col("level").isNotNull())
+        .groupBy(key_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(time_col).cast("double").alias("t"),
+                    F.col("level").alias("level"),
+                    F.col("trend").alias("trend"),
+                )
+            ).alias("_s")
+        )
+    )
+    k = F.explode(F.sequence(F.lit(1), F.lit(int(horizon)))).alias("k")
+    last = F.col("_s")
+    return frontier.select(key_col, k, "_s").select(
+        key_col,
+        (last["t"] + F.col("k").cast("double") * F.lit(float(step))).alias(time_col),
+        "k",
+        (last["level"] + F.col("k").cast("double") * last["trend"]).alias("yhat"),
     )

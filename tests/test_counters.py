@@ -150,11 +150,75 @@ def test_rate_is_increase_per_second(spark, counters):
 
 
 def test_plan_jvm_only_two_exchanges(spark, counters):
-    """One shuffle over raw points + one tier-sized window exchange; the
-    fold is a JVM higher-order aggregate — no Python anywhere."""
+    """One shuffle over raw points + one tier-sized window exchange —
+    no Python anywhere (default = window strategy)."""
     plan = (
         counter_rollup(counters, "1m")._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange") == 2
     for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
         assert node not in plan
+
+
+def _float_counter_pdf(seed=29, n=400, keys=("a", "b", "c")):
+    """FLOAT increments — exercises summation association, unlike the
+    integer fixture above."""
+    rng = np.random.default_rng(seed)
+    frames = []
+    for k in keys:
+        inc = rng.exponential(3.0, n)
+        resets = rng.random(n) < 0.02
+        v = np.empty(n)
+        acc = 0.0
+        for i in range(n):
+            if resets[i]:
+                acc = 0.0
+            acc += inc[i]
+            v[i] = acc
+        frames.append(
+            pd.DataFrame({"series_key": k, "t": 1.7e9 + np.arange(n) * 13.0, "value": v})
+        )
+    return pd.concat(frames, ignore_index=True)
+
+
+def test_window_and_fold_shapes_bit_equal_on_floats(spark):
+    """The two physical shapes walk each bucket in the same (t, v) order
+    and accumulate as the same left fold (post-exchange every group sits
+    in one partition, window-sorted, so the hash aggregate's partial
+    consumes it sequentially) — outputs are bit-identical even on float
+    data where reassociation would show."""
+    df = spark.createDataFrame(_float_counter_pdf())
+    cols = ["series_key", "bucket_start", "n", "first_t", "first_v",
+            "last_t", "last_v", "inc_within", "resets",
+            "boundary_increase", "boundary_reset", "bucket_increase", "rate"]
+    for tier in ("1m", "1h"):
+        a = (
+            counter_rollup(df, tier, strategy="window")
+            .toPandas().sort_values(["series_key", "bucket_start"]).reset_index(drop=True)
+        )
+        b = (
+            counter_rollup(df, tier, strategy="fold")
+            .toPandas().sort_values(["series_key", "bucket_start"]).reset_index(drop=True)
+        )
+        assert len(a) == len(b) > 0
+        for col in cols:
+            np.testing.assert_array_equal(a[col].to_numpy(), b[col].to_numpy(), err_msg=f"{tier}:{col}")
+
+
+def test_window_shape_no_object_hash_aggregate(spark, counters):
+    """The window shape's point: per-group state is O(1) primitives —
+    no ObjectHashAggregate (whose per-group arrays degrade to sort-based
+    aggregation past the fallback threshold), no Python."""
+    plan = (
+        counter_rollup(counters, "1m", strategy="window")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ObjectHashAggregate" not in plan
+    assert plan.count("Exchange") == 2
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+
+
+def test_bad_strategy_rejected(spark, counters):
+    with pytest.raises(ValueError):
+        counter_rollup(counters, "1m", strategy="nope")

@@ -176,3 +176,65 @@ def test_one_shuffle_plan(spark, series):
     plan = ewma_smooth(series, 0.5)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "MapInPandas" in plan
+
+
+def test_holt_forecast_matches_scalar_frontier(spark, series):
+    from series_correction_project_updated_spark.operators.smooth import (
+        holt_forecast,
+        holt_scalar,
+    )
+
+    h, step, alpha, beta = 5, 60.0, 0.4, 0.2
+    got = (
+        holt_forecast(series, alpha, beta, horizon=h, step=step)
+        .toPandas()
+        .sort_values(["series_key", "k"])
+        .reset_index(drop=True)
+    )
+    raw = series.toPandas().sort_values(["series_key", "t"]).reset_index(drop=True)
+    keys = sorted(raw["series_key"].unique())
+    assert sorted(got["series_key"].unique()) == keys
+    assert len(got) == h * len(keys)
+    for key, grp in raw.groupby("series_key"):
+        sub = got[got["series_key"] == key].sort_values("k")
+        valid = grp["value"].notna()
+        x = grp.loc[valid, "value"].to_numpy()
+        t_last = grp.loc[valid, "t"].max()
+        level, trend = holt_scalar(x, alpha, beta)
+        ks = np.arange(1, h + 1)
+        np.testing.assert_allclose(
+            sub["yhat"].to_numpy(), level[-1] + ks * trend[-1], rtol=1e-9
+        )
+        np.testing.assert_allclose(
+            sub["t"].to_numpy(), float(t_last) + ks * step, rtol=0, atol=1e-6
+        )
+
+
+def test_holt_forecast_linear_series_extrapolates_exactly(spark):
+    from series_correction_project_updated_spark.operators.smooth import holt_forecast
+
+    # long linear ramp -> level/trend converge to the line; the h-step
+    # forecast continues it
+    pdf = pd.DataFrame(
+        {
+            "series_key": "a",
+            "t": np.arange(400, dtype=np.float64) * 10.0,
+            "value": 5.0 + 3.0 * np.arange(400, dtype=np.float64),
+        }
+    )
+    out = (
+        holt_forecast(spark.createDataFrame(pdf), 0.3, 0.1, horizon=3, step=10.0)
+        .toPandas()
+        .sort_values("k")
+    )
+    want = 5.0 + 3.0 * (399 + np.arange(1, 4))
+    np.testing.assert_allclose(out["yhat"].to_numpy(), want, rtol=1e-6)
+
+
+def test_holt_forecast_validation(spark, series):
+    from series_correction_project_updated_spark.operators.smooth import holt_forecast
+
+    with pytest.raises(ValueError):
+        holt_forecast(series, 0.3, 0.1, horizon=0, step=60.0)
+    with pytest.raises(ValueError):
+        holt_forecast(series, 0.3, 0.1, horizon=2, step=0.0)
