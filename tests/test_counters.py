@@ -175,10 +175,16 @@ def _float_counter_pdf(seed=29, n=400, keys=("a", "b", "c")):
                 acc = 0.0
             acc += inc[i]
             v[i] = acc
-        frames.append(
-            pd.DataFrame({"series_key": k, "t": 1.7e9 + np.arange(n) * 13.0, "value": v})
-        )
-    return pd.concat(frames, ignore_index=True)
+        # adversarial stripes: nulls (both shapes must filter identically)
+        # and a reset pinned exactly on a 60s bucket boundary
+        v[(np.arange(n) % 37) == 5] = np.nan
+        t = 1.7e9 + np.arange(n) * 13.0
+        onb = np.flatnonzero(t % 60.0 == 0.0)
+        if len(onb) > 2:
+            v[onb[1]] = 0.5  # restart right at a bucket edge
+        frames.append(pd.DataFrame({"series_key": k, "t": t, "value": v}))
+    out = pd.concat(frames, ignore_index=True)
+    return out.astype({"value": "float64"}).where(pd.notna(out), None)
 
 
 def test_window_and_fold_shapes_bit_equal_on_floats(spark):
