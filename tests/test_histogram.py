@@ -131,3 +131,40 @@ def test_guards(spark):
         histogram_rollup(df, "1m", 0.0, 1.0, nbins=1000)
     with pytest.raises(ValueError):
         histogram_quantile(histogram_rollup(df, "1m", LO, HI, 4), 1.5, LO, HI)
+
+
+def test_quantile_strategies_bit_equal(spark):
+    """The Arrow locate and the JVM fold evaluate the identical IEEE
+    expression sequence per row — outputs bit-equal, including the
+    n==0 -> NULL rule and under/overflow clamps."""
+    pdf = _pdf()
+    tier = histogram_rollup(spark.createDataFrame(pdf), "1m", LO, HI, NBINS)
+    a = (
+        histogram_quantile(tier, 0.95, LO, HI, strategy="arrow")
+        .select("series_key", "bucket_start", "q95")
+        .toPandas().sort_values(["series_key", "bucket_start"]).reset_index(drop=True)
+    )
+    b = (
+        histogram_quantile(tier, 0.95, LO, HI, strategy="fold")
+        .select("series_key", "bucket_start", "q95")
+        .toPandas().sort_values(["series_key", "bucket_start"]).reset_index(drop=True)
+    )
+    assert len(a) == len(b) > 0
+    np.testing.assert_array_equal(a["q95"].to_numpy(), b["q95"].to_numpy())
+
+    # hand-built tier row with n=0: both shapes must yield SQL NULL
+    z = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "series_key": ["z"],
+                "bucket_start": [0],
+                "counts": [[0] * (NBINS + 2)],
+                "n": [0],
+            }
+        )
+    )
+    for strat in ("arrow", "fold"):
+        row = histogram_quantile(z, 0.5, 0.0, 10.0, strategy=strat).collect()[0]
+        assert row["q50"] is None, strat
+    with pytest.raises(ValueError):
+        histogram_quantile(tier, 0.5, LO, HI, strategy="nope")
