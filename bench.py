@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "q_quantile_tier",
     "q_counter_tier",
     "q_downsample_m4",
+    "q_interval_join",
     "q_asof_join",
     "q_asof_fwd_near",
     "q_compress_roundtrip",
