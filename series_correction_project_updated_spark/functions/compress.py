@@ -121,18 +121,12 @@ class _BitReader:
 # ---------------------------------------------------------------------------
 
 
-def _encode_timestamps_codes(ts: np.ndarray) -> tuple[list, list]:
-    ts = np.asarray(ts, dtype=np.int64)
-    n = len(ts)
-    head_codes = np.array([np.uint64(ts[0])], dtype=np.uint64)
-    head_lens = np.array([64], dtype=np.int64)
-    if n == 1:
-        return [head_codes], [head_lens]
-    deltas = np.diff(ts)
-    first = np.array([_zigzag(deltas[:1])[0]], dtype=np.uint64)
-    if n == 2:
-        return [head_codes, first], [head_lens, np.array([64])]
-    dod = (deltas[1:] - deltas[:-1]).astype(np.int64)
+def _dod_codes(dod: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """dod array → element-interleaved (codes, lens) of length 2·m.
+
+    Shared by the per-chunk and batch encoders so the class decisions have
+    exactly one implementation (bit-identity between the two paths is by
+    construction here, then equivalence-tested end to end)."""
     m = len(dod)
     codes = np.zeros(m, dtype=np.uint64)
     lens = np.ones(m, dtype=np.int64)  # default: '0' (dod == 0)
@@ -174,6 +168,21 @@ def _encode_timestamps_codes(ts: np.ndarray) -> tuple[list, list]:
     inter_lens[0::2] = lens
     inter_codes[1::2] = pay
     inter_lens[1::2] = pay_lens
+    return inter_codes, inter_lens
+
+
+def _encode_timestamps_codes(ts: np.ndarray) -> tuple[list, list]:
+    ts = np.asarray(ts, dtype=np.int64)
+    n = len(ts)
+    head_codes = np.array([np.uint64(ts[0])], dtype=np.uint64)
+    head_lens = np.array([64], dtype=np.int64)
+    if n == 1:
+        return [head_codes], [head_lens]
+    deltas = np.diff(ts)
+    first = np.array([_zigzag(deltas[:1])[0]], dtype=np.uint64)
+    if n == 2:
+        return [head_codes, first], [head_lens, np.array([64])]
+    inter_codes, inter_lens = _dod_codes((deltas[1:] - deltas[:-1]).astype(np.int64))
     return [head_codes, first, inter_codes], [head_lens, np.array([64]), inter_lens]
 
 
@@ -228,39 +237,33 @@ def _decode_timestamps_scalar_inner(r: _BitReader, n: int, legacy_v1: bool) -> n
 # ---------------------------------------------------------------------------
 
 
-def _encode_values_codes(values: np.ndarray) -> tuple[list, list]:
-    bits = np.asarray(values, dtype=np.float64).view(np.uint64)
-    n = len(bits)
-    head = np.array([bits[0]], dtype=np.uint64)
-    head_len = np.array([64], dtype=np.int64)
-    if n == 1:
-        return [head], [head_len]
-    xors = bits[1:] ^ bits[:-1]
-    m = len(xors)
-    bl = _bit_length_u64(xors)
-    lead = np.minimum(64 - bl, 31)  # clamp to 5-bit field
-    low = xors & (~xors + _ONE)  # lowest set bit
-    trail = _bit_length_u64(low) - 1  # -1 for xor==0 (unused)
+def _fill_value_windows(
+    hdr: np.ndarray,
+    hdr_len: np.ndarray,
+    pay: np.ndarray,
+    pay_len: np.ndarray,
+    nz: np.ndarray,
+    lead_nz: np.ndarray,
+    trail_nz: np.ndarray,
+    x_nz: np.ndarray,
+    lo: int,
+    hi: int,
+) -> None:
+    """Window-reuse state scan over nz positions [lo, hi), vectorized per
+    window SEGMENT (the state (prev_lead, prev_len) only changes at a
+    violation — ``lead < L or trail < T`` — so each window is a
+    find-first-violation scan over the non-zero-xor subsequence, then one
+    vectorized fill for the reused run; same grow-block pattern as the
+    kernel's CUSUM scan). Decisions and emitted bits are IDENTICAL to the
+    original per-element loop (property-tested against it): first non-zero
+    opens a window; reuse while le ≥ prev_lead and tr ≥ prev_trail.
 
-    # Window-reuse state scan, vectorized per window SEGMENT (the state
-    # (prev_lead, prev_len) only changes at a violation — ``lead < L or
-    # trail < T`` — so each window is a find-first-violation scan over the
-    # non-zero-xor subsequence, then one vectorized fill for the reused
-    # run; same grow-block pattern as the kernel's CUSUM scan). Decisions
-    # and emitted bits are IDENTICAL to the original per-element loop
-    # (property-tested against it): first non-zero opens a window; reuse
-    # while le ≥ prev_lead and tr ≥ prev_trail.
-    hdr = np.zeros(m, dtype=np.uint64)
-    hdr_len = np.ones(m, dtype=np.int64)  # '0' for xor == 0
-    pay = np.zeros(m, dtype=np.uint64)
-    pay_len = np.zeros(m, dtype=np.int64)
-    nz = np.flatnonzero(xors)
-    k = len(nz)
-    lead_nz = lead[nz]
-    trail_nz = trail[nz]
-    x_nz = xors[nz]
-    pos = 0
-    while pos < k:
+    Shared by the per-chunk encoder (lo=0, hi=len(nz)) and the batch
+    encoder (one [lo, hi) nz-range per chunk — window state never crosses
+    a chunk boundary). Writes into hdr/pay at the global element indices
+    held in ``nz``."""
+    pos = lo
+    while pos < hi:
         le = int(lead_nz[pos])
         tr = int(trail_nz[pos])
         length = 64 - le - tr
@@ -271,11 +274,11 @@ def _encode_values_codes(values: np.ndarray) -> tuple[list, list]:
         pay_len[i0] = length
         # scan forward for the first violation in exponentially growing
         # blocks (bounds the wasted scan when windows change often)
-        end = k
+        end = hi
         s = pos + 1
         block = 64
         while s < end:
-            e = min(s + block, k)
+            e = min(s + block, hi)
             viol = (lead_nz[s:e] < le) | (trail_nz[s:e] < tr)
             j = int(viol.argmax()) if e > s else 0
             if e > s and viol[j]:
@@ -290,6 +293,30 @@ def _encode_values_codes(values: np.ndarray) -> tuple[list, list]:
         pay[idx] = x_nz[seg] >> np.uint64(tr)
         pay_len[idx] = length
         pos = end
+
+
+def _encode_values_codes(values: np.ndarray) -> tuple[list, list]:
+    bits = np.asarray(values, dtype=np.float64).view(np.uint64)
+    n = len(bits)
+    head = np.array([bits[0]], dtype=np.uint64)
+    head_len = np.array([64], dtype=np.int64)
+    if n == 1:
+        return [head], [head_len]
+    xors = bits[1:] ^ bits[:-1]
+    m = len(xors)
+    bl = _bit_length_u64(xors)
+    lead = np.minimum(64 - bl, 31)  # clamp to 5-bit field
+    low = xors & (~xors + _ONE)  # lowest set bit
+    trail = _bit_length_u64(low) - 1  # -1 for xor==0 (unused)
+
+    hdr = np.zeros(m, dtype=np.uint64)
+    hdr_len = np.ones(m, dtype=np.int64)  # '0' for xor == 0
+    pay = np.zeros(m, dtype=np.uint64)
+    pay_len = np.zeros(m, dtype=np.int64)
+    nz = np.flatnonzero(xors)
+    _fill_value_windows(
+        hdr, hdr_len, pay, pay_len, nz, lead[nz], trail[nz], xors[nz], 0, len(nz)
+    )
 
     # interleave header/payload per element into one code stream:
     # hdr_len ≤ 13, pay_len ≤ 64 → may exceed 64 bits combined, so emit as
@@ -611,6 +638,169 @@ def encode_chunk(ts: np.ndarray, values: np.ndarray) -> bytes:
     vbytes = _pack_codes(v_codes, v_lens)
     header = MAGIC + struct.pack("<IQ", len(ts), len(tbytes))
     return header + tbytes + vbytes
+
+
+def encode_chunks(ts: np.ndarray, values: np.ndarray, offsets: np.ndarray) -> list[bytes]:
+    """Batch ``encode_chunk`` over k chunks stored FLAT with boundary
+    offsets (chunk c is ``[offsets[c], offsets[c+1])``) — byte-identical
+    payload per chunk (equivalence- and hypothesis-tested).
+
+    Why this exists: ``encode_chunk``'s cost at tier-sized chunks is fixed
+    per-chunk numpy-call overhead, not arithmetic — measured 393k pts/s
+    per thread at 240-point chunks vs 1.14M at 2400-point. Here every
+    elementwise pass (delta/dod classes, XOR lead/trail) runs ONCE over
+    the flat arrays with inter-chunk positions masked out, and ALL chunks'
+    variable-length codes are packed in a single bit-plane pass: each
+    chunk's timestamp and value sections are padded to a byte boundary
+    in-stream — exactly the zero padding ``np.packbits`` adds per section
+    when a chunk is packed alone — so slicing the one global byte buffer
+    reproduces each per-chunk buffer byte-for-byte. The only per-chunk
+    work left is the value window-reuse scan (sequential by construction;
+    the helper is SHARED with ``encode_chunk``, so decisions cannot
+    diverge) and slice assembly. Same flat-array+offsets pattern as the
+    quantile digest compression (operators/quantile)."""
+    ts = np.ascontiguousarray(ts, dtype=np.int64)
+    values = np.ascontiguousarray(values, dtype=np.float64)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    n_total = len(ts)
+    if len(values) != n_total:
+        raise ValueError(f"length mismatch: {n_total} timestamps vs {len(values)} values")
+    k = len(offsets) - 1
+    if k < 0 or offsets[0] != 0 or offsets[-1] != n_total or (np.diff(offsets) < 0).any():
+        raise ValueError("offsets must be monotone with offsets[0]=0, offsets[-1]=len(ts)")
+    ns = np.diff(offsets)
+    starts = offsets[:-1]
+    nonempty = ns > 0
+    cid = np.repeat(np.arange(k, dtype=np.int64), ns)
+
+    # --- timestamp sections: head (64b) + zigzag first delta (64b, n≥2)
+    # + interleaved dod class codes (n≥3). dod positions are valid only
+    # where three consecutive flat elements share a chunk.
+    heads_t = np.zeros(k, dtype=np.uint64)
+    heads_t[nonempty] = ts[starts[nonempty]].view(np.uint64)
+    firsts = np.zeros(k, dtype=np.uint64)
+    has2 = ns >= 2
+    if has2.any():
+        s2 = starts[has2]
+        firsts[has2] = _zigzag(ts[s2 + 1] - ts[s2])
+    m_per = np.maximum(ns - 2, 0)
+    im = np.zeros(k + 1, dtype=np.int64)
+    np.cumsum(m_per, out=im[1:])
+    m_dod = int(im[-1])
+    if m_dod:
+        d = ts[1:] - ts[:-1]  # cross-chunk positions masked out below
+        dodv = cid[2:] == cid[:-2]
+        it_codes, it_lens = _dod_codes((d[1:] - d[:-1])[dodv].astype(np.int64))
+    else:
+        it_codes = np.empty(0, dtype=np.uint64)
+        it_lens = np.empty(0, dtype=np.int64)
+    it_cs = np.zeros(2 * m_dod + 1, dtype=np.int64)
+    np.cumsum(it_lens, out=it_cs[1:])
+    t_bits = 64 * nonempty + 64 * has2 + (it_cs[2 * im[1:]] - it_cs[2 * im[:-1]])
+    t_pad = (-t_bits) % 8
+    tbytes_len = (t_bits + t_pad) // 8
+
+    # --- value sections: head (64b) + interleaved XOR hdr/payload codes.
+    # Window state resets per chunk: one _fill_value_windows range each.
+    x_per = np.maximum(ns - 1, 0)
+    xm = np.zeros(k + 1, dtype=np.int64)
+    np.cumsum(x_per, out=xm[1:])
+    m_x = int(xm[-1])
+    vb = values.view(np.uint64)
+    heads_v = np.zeros(k, dtype=np.uint64)
+    heads_v[nonempty] = vb[starts[nonempty]]
+    if m_x:
+        xors = (vb[1:] ^ vb[:-1])[cid[1:] == cid[:-1]]
+        bl = _bit_length_u64(xors)
+        lead = np.minimum(64 - bl, 31)
+        trail = _bit_length_u64(xors & (~xors + _ONE)) - 1
+        vhdr = np.zeros(m_x, dtype=np.uint64)
+        vhdr_len = np.ones(m_x, dtype=np.int64)
+        vpay = np.zeros(m_x, dtype=np.uint64)
+        vpay_len = np.zeros(m_x, dtype=np.int64)
+        nz = np.flatnonzero(xors)
+        lead_nz, trail_nz, x_nz = lead[nz], trail[nz], xors[nz]
+        nzoff = np.searchsorted(nz, xm)
+        for c in range(k):
+            lo, hi = int(nzoff[c]), int(nzoff[c + 1])
+            if lo < hi:
+                _fill_value_windows(
+                    vhdr, vhdr_len, vpay, vpay_len, nz, lead_nz, trail_nz, x_nz, lo, hi
+                )
+        iv_codes = np.empty(2 * m_x, dtype=np.uint64)
+        iv_lens = np.empty(2 * m_x, dtype=np.int64)
+        iv_codes[0::2] = vhdr
+        iv_lens[0::2] = vhdr_len
+        iv_codes[1::2] = vpay
+        iv_lens[1::2] = vpay_len
+    else:
+        iv_codes = np.empty(0, dtype=np.uint64)
+        iv_lens = np.empty(0, dtype=np.int64)
+    iv_cs = np.zeros(2 * m_x + 1, dtype=np.int64)
+    np.cumsum(iv_lens, out=iv_cs[1:])
+    v_bits = 64 * nonempty + (iv_cs[2 * xm[1:]] - iv_cs[2 * xm[:-1]])
+    v_pad = (-v_bits) % 8
+    vbytes_len = (v_bits + v_pad) // 8
+
+    # --- pack chunk-ordered segments with in-stream pads, in groups of
+    # ~PACK_BLOCK codes: one giant pack call builds >8-byte-per-code
+    # intermediates (bit matrix + mask) that fall out of cache and run
+    # ~3× slower per point than the per-chunk calls it replaced; group
+    # boundaries sit between chunks, which end byte-aligned, so the
+    # grouped packs concatenate to the identical stream.
+    PACK_BLOCK = 32768
+    zpad = np.zeros(1, dtype=np.uint64)
+    one64 = np.array([64], dtype=np.int64)
+    parts: list[bytes] = []
+    segs_c: list = []
+    segs_l: list = []
+    pending = 0
+    ns_l = ns.tolist()
+    tpad_l = t_pad.tolist()
+    vpad_l = v_pad.tolist()
+    for c in range(k):
+        n = ns_l[c]
+        if n == 0:
+            continue
+        segs_c.append(heads_t[c : c + 1])
+        segs_l.append(one64)
+        if n >= 2:
+            segs_c.append(firsts[c : c + 1])
+            segs_l.append(one64)
+            if n >= 3:
+                segs_c.append(it_codes[2 * im[c] : 2 * im[c + 1]])
+                segs_l.append(it_lens[2 * im[c] : 2 * im[c + 1]])
+        segs_c.append(zpad)
+        segs_l.append(np.array([tpad_l[c]], dtype=np.int64))
+        segs_c.append(heads_v[c : c + 1])
+        segs_l.append(one64)
+        if n >= 2:
+            segs_c.append(iv_codes[2 * xm[c] : 2 * xm[c + 1]])
+            segs_l.append(iv_lens[2 * xm[c] : 2 * xm[c + 1]])
+        segs_c.append(zpad)
+        segs_l.append(np.array([vpad_l[c]], dtype=np.int64))
+        pending += 4 + 3 * n  # upper bound on codes added for this chunk
+        if pending >= PACK_BLOCK:
+            parts.append(_pack_codes(segs_c, segs_l))
+            segs_c, segs_l, pending = [], [], 0
+    if segs_c:
+        parts.append(_pack_codes(segs_c, segs_l))
+    buf = b"".join(parts)
+
+    out: list[bytes] = []
+    bo = 0
+    tb_l = tbytes_len.tolist()
+    vbl_l = vbytes_len.tolist()
+    empty_hdr = MAGIC + struct.pack("<IQ", 0, 0)
+    for c in range(k):
+        n = ns_l[c]
+        if n == 0:
+            out.append(empty_hdr)
+            continue
+        size = tb_l[c] + vbl_l[c]
+        out.append(MAGIC + struct.pack("<IQ", n, tb_l[c]) + buf[bo : bo + size])
+        bo += size
+    return out
 
 
 def decode_chunk(payload: bytes) -> tuple[np.ndarray, np.ndarray]:

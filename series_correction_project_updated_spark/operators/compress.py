@@ -15,6 +15,7 @@ output is the retention artifact.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -55,30 +56,35 @@ def compress_rollup(
         if not chunks:
             return
         pdf = pd.concat(chunks, ignore_index=True)
+        if len(pdf) == 0:
+            return
         pdf = pdf.sort_values(["series_key", "chunk_start", "bucket_start"])
-        out_keys, out_starts, out_n, out_tmin, out_tmax, out_payload = [], [], [], [], [], []
-        for (key, start), grp in pdf.groupby(["series_key", "chunk_start"], sort=False):
-            ts = grp["bucket_start"].to_numpy("int64")
-            vals = grp[value_col].to_numpy("float64")
-            out_keys.append(key)
-            out_starts.append(int(start))
-            out_n.append(len(ts))
-            # ts is sorted within the group — exact bounds are the ends
-            out_tmin.append(int(ts[0]))
-            out_tmax.append(int(ts[-1]))
-            out_payload.append(codec.encode_chunk(ts, vals))
+        # batch-encode every (series, chunk) group in ONE flat pass
+        # (codec.encode_chunks): the former per-group pandas groupby loop
+        # paid ~20 small-numpy-call overheads per chunk — measured ~2× at
+        # 240-point tier chunks, ~2.6× at 60-point. Group boundaries come
+        # from the sorted key columns directly.
+        keys = pdf["series_key"].to_numpy()
+        cstarts = pdf["chunk_start"].to_numpy("int64")
+        ts_all = pdf["bucket_start"].to_numpy("int64")
+        vals_all = pdf[value_col].to_numpy("float64")
+        change = np.flatnonzero((keys[1:] != keys[:-1]) | (cstarts[1:] != cstarts[:-1])) + 1
+        offsets = np.concatenate([[0], change, [len(pdf)]]).astype(np.int64)
+        payloads = codec.encode_chunks(ts_all, vals_all, offsets)
+        g0 = offsets[:-1]  # first row of each group (ts sorted within)
+        g1 = offsets[1:] - 1  # last row — exact [t_min, t_max] bounds
         yield pd.DataFrame(
             {
-                "series_key": out_keys,
+                "series_key": keys[g0],
                 "tier": tier,
-                "chunk_start": out_starts,
+                "chunk_start": cstarts[g0],
                 # v2: 64-bit dod escape class (payload magic GOR2); v1
                 # payloads stay readable via decode_chunk's legacy branch
                 "codec": "gorilla-dod-xor-v2",
-                "n_points": out_n,
-                "t_min": out_tmin,
-                "t_max": out_tmax,
-                "payload": out_payload,
+                "n_points": (offsets[1:] - g0).astype(np.int64),
+                "t_min": ts_all[g0],
+                "t_max": ts_all[g1],
+                "payload": payloads,
             }
         )[["series_key", "tier", "chunk_start", "codec", "n_points", "t_min", "t_max", "payload"]]
 

@@ -3,6 +3,7 @@
 import numpy as np
 import pytest
 
+from series_correction_project_updated_spark.functions import compress as codec
 from series_correction_project_updated_spark.functions.compress import (
     decode_chunk,
     encode_chunk,
@@ -136,3 +137,48 @@ def test_dod_class_boundaries_roundtrip_exact():
         t2, v2 = codec.decode_chunk(codec.encode_chunk(ts, vals))
         assert (t2 == ts).all(), (d, t2.tolist())
         assert (v2 == vals).all()
+
+
+def test_encode_chunks_matches_per_chunk_adversarial():
+    """encode_chunks (batch, flat+offsets) must be BYTE-identical to
+    encode_chunk per chunk — including empty chunks, n=1/2/3 specials,
+    NaN/inf/-0.0 values, negative and wrapping timestamps, 64-bit dod
+    escapes, constant runs, and chunk-boundary adjacency (the masked
+    flat-array math must never leak deltas/xors across chunks)."""
+    rng = np.random.default_rng(1234)
+    chunks = [
+        (np.empty(0, np.int64), np.empty(0, np.float64)),
+        (np.array([7], np.int64), np.array([1.5])),
+        (np.array([0, 60], np.int64), np.array([np.nan, -0.0])),
+        (np.array([0, 60, 120], np.int64), np.array([1.0, 1.0, 1.0])),
+        (np.zeros(10, np.int64), np.full(10, 1.5)),
+        (np.array([0, 2**40, -(2**40), 5], np.int64), np.array([np.nan, np.inf, -np.inf, 0.0])),
+        (np.array([2**62, -(2**62), 2**62, -(2**62)], np.int64), rng.normal(size=4)),
+        (np.cumsum(rng.integers(55, 65, 240)).astype(np.int64), np.round(rng.normal(100, 5, 240), 3)),
+        (np.empty(0, np.int64), np.empty(0, np.float64)),
+    ]
+    for _ in range(60):
+        n = int(rng.integers(0, 40))
+        chunks.append(
+            (
+                np.sort(rng.integers(-(10**12), 10**12, n)).astype(np.int64),
+                rng.normal(0, 1e6, n),
+            )
+        )
+    ts = np.concatenate([c[0] for c in chunks])
+    vs = np.concatenate([c[1] for c in chunks])
+    offsets = np.concatenate([[0], np.cumsum([len(c[0]) for c in chunks])]).astype(np.int64)
+    got = codec.encode_chunks(ts, vs, offsets)
+    want = [codec.encode_chunk(t, v) for t, v in chunks]
+    assert got == want
+
+
+def test_encode_chunks_bad_offsets_raise():
+    ts = np.arange(4, dtype=np.int64)
+    vs = np.ones(4)
+    with pytest.raises(ValueError):
+        codec.encode_chunks(ts, vs, np.array([0, 2], dtype=np.int64))  # doesn't end at len
+    with pytest.raises(ValueError):
+        codec.encode_chunks(ts, vs, np.array([0, 3, 2, 4], dtype=np.int64))  # not monotone
+    with pytest.raises(ValueError):
+        codec.encode_chunks(ts, np.ones(3), np.array([0, 4], dtype=np.int64))  # len mismatch

@@ -367,3 +367,30 @@ def test_vectorized_decode_fallback_paths():
         t_vec, v_vec = codec.decode_chunk(payload)
         assert (t_vec == ts).all()
         assert (v_vec.view(np.uint64) == vals.view(np.uint64)).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=0, max_size=120),
+    st.data(),
+)
+def test_encode_chunks_equals_per_chunk(ts_raw, data):
+    """Batch encoder ≡ per-chunk encoder under ARBITRARY chunk partitions
+    of arbitrary (sorted-per-chunk) timestamps and special-value floats —
+    the flat masked math must reproduce every chunk byte-for-byte."""
+    ts = np.sort(np.asarray(ts_raw, dtype=np.int64))
+    vals = np.array(
+        data.draw(st.lists(finite_or_special, min_size=len(ts), max_size=len(ts))),
+        dtype=np.float64,
+    )
+    n = len(ts)
+    cuts = data.draw(
+        st.lists(st.integers(min_value=0, max_value=n), min_size=0, max_size=8)
+    )
+    offsets = np.array(sorted([0, *cuts, n]), dtype=np.int64)
+    got = codec.encode_chunks(ts, vals, offsets)
+    want = [
+        codec.encode_chunk(ts[offsets[c] : offsets[c + 1]], vals[offsets[c] : offsets[c + 1]])
+        for c in range(len(offsets) - 1)
+    ]
+    assert got == want
