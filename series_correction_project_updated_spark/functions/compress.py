@@ -387,8 +387,14 @@ def _bits_val(bits: np.ndarray, pos: int, width: int) -> int:
 
 def _zero_run(bits: np.ndarray, pos: int, cap: int) -> int:
     """Length of the run of 0-bits starting at ``pos``, capped — counts
-    consecutive 1-bit '0' fields in one vectorized scan (growing blocks)."""
+    consecutive 1-bit '0' fields in one vectorized scan (growing blocks).
+    The first few bits are peeked scalar: gap-y tiers produce many short
+    zero runs where one argmax-slice scan costs more than the run."""
     count = 0
+    while count < min(cap, 8):
+        if bits[pos + count]:
+            return count
+        count += 1
     block = 256
     while count < cap:
         e = min(count + block, cap)
@@ -411,14 +417,20 @@ def _stride_run(bits: np.ndarray, pos: int, stride: int, cap: int, ones: int, te
     so they'd fail the ones-check anyway) — clamp to stay indexable."""
     probe = ones + (1 if term else 0)
     cap = min(cap, (len(bits) - probe - pos) // stride + 1)
-    if cap >= 2:  # scalar peek at candidate 2: run-of-1 exits numpy-free
-        q = pos + stride
+    # scalar peek at candidates 2..5: short runs exit numpy-free. Gap-y
+    # rollup tiers emit many length-1..3 class runs (each missing bucket
+    # is a ±gap dod pair), where one vectorized block check (~26µs:
+    # arange+ones+flatnonzero) costs more than the whole run decodes for —
+    # four ~1µs scalar probes before vectorizing is the break-even.
+    count = 1
+    while count < min(cap, 5):
+        q = pos + stride * count
         good = all(bits[q + j] for j in range(ones))
         if good and term and bits[q + ones]:
             good = False
         if not good:
-            return 1
-    count = 1
+            return count
+        count += 1
     block = 64
     while count < cap:
         e = min(count + block, cap)
@@ -466,6 +478,12 @@ def _expand_runs(runs: list, with_shift: bool):
 
 #: leading-ones class c → (header bits, payload bits); c=0 is the '0' field
 _DOD_HDR_PAY = {1: (2, 7), 2: (3, 9), 3: (4, 12), 4: (5, 32), 5: (5, 64)}
+
+#: the same table as parallel lookup arrays indexed by class (0..5), for
+#: the batch table decoder: header bits, payload bits, total field bits
+_CLS_HDR = np.array([0, 2, 3, 4, 5, 5], dtype=np.int64)
+_CLS_PAY = np.array([0, 7, 9, 12, 32, 64], dtype=np.int64)
+_CLS_LEN = np.array([1, 9, 12, 16, 37, 69], dtype=np.int64)
 
 
 #: after this many walk iterations, re-evaluate run-collapse efficiency
@@ -817,6 +835,220 @@ def decode_chunk(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
             _decode_values_scalar(_BitReader(vseg), n),
         )
     return _decode_timestamps_vec(tseg, n), _decode_values_vec(vseg, n)
+
+
+def _intra(counts: np.ndarray) -> np.ndarray:
+    """[0..c0), [0..c1), ... concatenated — the arange-minus-repeat trick."""
+    total = int(counts.sum())
+    return np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(counts) - counts, counts)
+
+
+def decode_chunks(payloads) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batch ``decode_chunk`` over a sequence of payloads → flat
+    ``(timestamps, values, offsets)`` with chunk c occupying
+    ``[offsets[c], offsets[c+1])`` — value-identical to per-chunk decode
+    (adversarial + hypothesis equivalence suites).
+
+    Why this exists, and why the timestamp side changes ALGORITHM: at
+    tier-sized chunks the per-chunk decoder is walk-bound — gap-y rollup
+    tiers emit a ±dod class pair per missing bucket, so the run-collapsing
+    walk does O(#gaps) numpy-backed iterations per chunk (measured 170k
+    pts/s/thread at 234-point 15%-gap chunks vs 1.8M on one huge chunk).
+    Here the dod stream is decoded with NO sequential walk at all:
+
+    1. every chunk's timestamp section concatenates into ONE bit plane
+       (sections are byte-aligned, so positions are exact);
+    2. a class table is built columnar over the whole plane — ``cls_at[p]``
+       / ``len_at[p]`` = the field class/length IF a field started at bit
+       p (the ``_ts_chain_tail`` construction, globalized);
+    3. all field start positions materialize by POINTER DOUBLING on the
+       jump array ``J[p] = p + len_at[p]``: level k emits fields
+       [2^k, 2^{k+1}) of every chunk from the already-known first 2^k via
+       one gather through the 2^k-step jump table (``J = J[J]`` per
+       level) — ceil(log2(max fields/chunk)) vectorized passes, hostile
+       streams cost the same as regular ones;
+    4. payloads for ALL chunks gather in one ``_gather_fields`` pass and
+       timestamps rebuild with segmented (boundary-subtracted) cumsums.
+
+    The value sections keep the per-chunk run walk (field length depends
+    on live window state, so no position-indexed table exists), but all
+    chunks' runs accumulate into ONE list → one ``_expand_runs`` + one
+    gather + one segmented ``bitwise_xor.accumulate`` (the per-chunk
+    correction term is the accumulated value at each chunk's last
+    predecessor position). Legacy GOR1 payloads fall back to the scalar
+    per-chunk decoder and splice into the output by offset."""
+    k = len(payloads)
+    ns = np.zeros(k, dtype=np.int64)
+    tlens = np.zeros(k, dtype=np.int64)
+    legacy: list[int] = []
+    for c, p in enumerate(payloads):
+        magic = p[:4]
+        if magic not in (MAGIC, MAGIC_V1):
+            raise ValueError(f"not a Gorilla chunk (magic {magic!r})")
+        n, tlen = struct.unpack("<IQ", p[4:16])
+        ns[c] = n
+        tlens[c] = tlen
+        if magic == MAGIC_V1 and n > 0:
+            legacy.append(c)
+    out_off = np.zeros(k + 1, dtype=np.int64)
+    np.cumsum(ns, out=out_off[1:])
+    n_total = int(out_off[-1])
+    ts_out = np.empty(n_total, dtype=np.int64)
+    val_out = np.empty(n_total, dtype=np.float64)
+    offsets = out_off
+
+    is_legacy = np.zeros(k, dtype=bool)
+    is_legacy[legacy] = True
+    bi = np.flatnonzero((ns > 0) & ~is_legacy)  # batch (GOR2, non-empty)
+    for c in legacy:
+        t, v = decode_chunk(payloads[c])
+        ts_out[out_off[c] : out_off[c + 1]] = t
+        val_out[out_off[c] : out_off[c + 1]] = v
+    if len(bi) == 0:
+        return ts_out, val_out, offsets
+
+    ns_b = ns[bi]
+    tlens_b = tlens[bi]
+    vlens_b = np.array([len(payloads[c]) for c in bi], dtype=np.int64) - 16 - tlens_b
+    kb = len(bi)
+    ob = out_off[bi]  # output start per batch chunk
+
+    # --- timestamp plane -------------------------------------------------
+    ts_buf = _padded_buf(b"".join(bytes(payloads[c][16 : 16 + tlens[c]]) for c in bi))
+    tb_off = np.zeros(kb, dtype=np.int64)
+    np.cumsum(tlens_b[:-1] * 8, out=tb_off[1:])
+    full64 = np.full(kb, 64, dtype=np.int64)
+    heads = _sign_extend(_gather_fields(ts_buf, tb_off, full64), 64)
+    firstd = np.zeros(kb, dtype=np.int64)
+    n2 = ns_b >= 2
+    if n2.any():
+        zz = _gather_fields(ts_buf, tb_off[n2] + 64, full64[n2])
+        firstd[n2] = (zz >> _ONE).astype(np.int64) ^ -(zz & _ONE).astype(np.int64)
+
+    m_per = np.maximum(ns_b - 2, 0)
+    M = int(m_per.sum())
+    im = np.zeros(kb + 1, dtype=np.int64)
+    np.cumsum(m_per, out=im[1:])
+    dod = np.zeros(M, dtype=np.int64)
+    if M:
+        bits = np.unpackbits(ts_buf)
+        nb = len(bits)
+        idt = np.int32 if nb + 70 < np.iinfo(np.int32).max else np.int64
+        pad = np.concatenate([bits, np.zeros(5, np.uint8)])
+        o0, o1, o2, o3, o4 = (pad[j : j + nb] for j in range(5))
+        p01 = o0 * o1
+        p012 = p01 * o2
+        cls_at = o0 + p01 + p012 + p012 * o3 + p012 * o3 * o4  # uint8, 0..5
+        jump = np.arange(nb, dtype=idt)
+        jump += _CLS_LEN.astype(idt)[cls_at]
+        np.minimum(jump, nb - 1, out=jump)  # clamp garbage chains in-bounds
+        starts = np.empty(M, dtype=idt)
+        has = m_per > 0
+        starts[im[:-1][has]] = (tb_off[has] + 128).astype(idt)
+        filled = np.minimum(m_per, 1)
+        while True:
+            todo = m_per - filled
+            if not todo.any():
+                break
+            t = np.minimum(filled, todo)
+            src = np.repeat(im[:-1], t) + _intra(t)
+            starts[src + np.repeat(filled, t)] = jump[starts[src]]
+            filled = filled + t
+            if (m_per - filled).any():
+                jump = jump[jump]  # double the stride for the next level
+        cls = cls_at[starts]
+        nzf = np.flatnonzero(cls)
+        if len(nzf):
+            cl = cls[nzf].astype(np.int64)
+            raw = _gather_fields(
+                ts_buf, starts[nzf].astype(np.int64) + _CLS_HDR[cl], _CLS_PAY[cl]
+            )
+            for c in range(1, 6):
+                sel = cl == c
+                if sel.any():
+                    dod[nzf[sel]] = _sign_extend(raw[sel], int(_CLS_PAY[c]))
+
+    # segmented double cumsum: dod → deltas → timestamps, per chunk, via
+    # boundary subtraction (int64 wrap-around is modular, so global
+    # cumsums minus the chunk-start prefix equal per-chunk cumsums bit
+    # for bit — the same wrap semantics as the per-chunk decoder)
+    dcnt = ns_b - 1  # ≥0; deltas per chunk
+    D = int(dcnt.sum())
+    doff = np.zeros(kb + 1, dtype=np.int64)
+    np.cumsum(dcnt, out=doff[1:])
+    S = np.zeros(M + 1, dtype=np.int64)
+    np.cumsum(dod, out=S[1:])
+    cum_within = S[1:] - np.repeat(S[im[:-1]], m_per)
+    deltas = np.repeat(firstd, dcnt)
+    intra_d = _intra(dcnt)
+    deltas[intra_d > 0] += cum_within
+    T = np.zeros(D + 1, dtype=np.int64)
+    np.cumsum(deltas, out=T[1:])
+    ts_within = (T[1:] - np.repeat(T[doff[:-1]], dcnt)) + np.repeat(heads, dcnt)
+    ts_out[ob] = heads
+    ts_out[np.repeat(ob + 1, dcnt) + intra_d] = ts_within
+
+    # --- value plane ------------------------------------------------------
+    v_buf = _padded_buf(b"".join(bytes(payloads[c][16 + tlens[c] :]) for c in bi))
+    vb_off = np.zeros(kb, dtype=np.int64)
+    np.cumsum(vlens_b[:-1] * 8, out=vb_off[1:])
+    v_heads = _gather_fields(v_buf, vb_off, full64)
+    xcnt = ns_b - 1
+    X = int(xcnt.sum())
+    xm = np.zeros(kb + 1, dtype=np.int64)
+    np.cumsum(xcnt, out=xm[1:])
+    xors = np.zeros(X, dtype=np.uint64)
+    if X:
+        bits_v = np.unpackbits(v_buf)
+        runs = []  # (global_field_idx, count, payload_pos0, stride, pay_bits, lshift)
+        xm_l = xm.tolist()
+        vb_l = vb_off.tolist()
+        xc_l = xcnt.tolist()
+        for c in range(kb):
+            m = xc_l[c]
+            pos = vb_l[c] + 64
+            base = xm_l[c]
+            i = 0
+            lead = length = 0
+            while i < m:
+                if bits_v[pos] == 0:
+                    z = _zero_run(bits_v, pos, m - i)
+                    pos += z
+                    i += z
+                    continue
+                if bits_v[pos + 1]:  # '11' — new window header
+                    lead = _bits_val(bits_v, pos + 2, 5)
+                    length = _bits_val(bits_v, pos + 7, 6) + 1
+                    runs.append((base + i, 1, pos + 13, 0, length, 64 - lead - length))
+                    pos += 13 + length
+                    i += 1
+                    continue
+                stride = 2 + length
+                cnt = _stride_run(bits_v, pos, stride, m - i, ones=1, term=True)
+                runs.append((base + i, cnt, pos + 2, stride, length, 64 - lead - length))
+                pos += stride * cnt
+                i += cnt
+        if runs:
+            dst, ps, lens, shf = _expand_runs(runs, with_shift=True)
+            raw = _gather_fields(v_buf, ps, lens)
+            xors[dst] = raw << shf.astype(np.uint64)
+    # segmented XOR accumulate: place each chunk head at its first slot,
+    # run ONE global accumulate, then cancel the cross-chunk prefix by
+    # XORing every chunk with the accumulated value just before its start
+    nbt = int(ns_b.sum())
+    boff = np.zeros(kb + 1, dtype=np.int64)
+    np.cumsum(ns_b, out=boff[1:])
+    A = np.zeros(nbt, dtype=np.uint64)
+    A[boff[:-1]] = v_heads
+    if X:
+        A[np.repeat(boff[:-1] + 1, xcnt) + _intra(xcnt)] = xors
+    G = np.bitwise_xor.accumulate(A)
+    corr = np.zeros(kb, dtype=np.uint64)
+    nz0 = boff[:-1] > 0
+    corr[nz0] = G[boff[:-1][nz0] - 1]
+    vals_b = (G ^ np.repeat(corr, ns_b)).view(np.float64)
+    val_out[np.repeat(ob, ns_b) + _intra(ns_b)] = vals_b
+    return ts_out, val_out, offsets
 
 
 def decode_chunk_scalar(payload: bytes) -> tuple[np.ndarray, np.ndarray]:

