@@ -350,6 +350,21 @@ EXTRA_AUDIT = {
             ("scan -> decode is shuffle-free (no Exchange)", r"(?s)^(?!.*Exchange)"),
         ],
     ),
+    "bottom_k_sample (non-registry)": (
+        lambda spark: __import__(
+            "series_correction_project_updated_spark.operators.sampling", fromlist=["bottom_k_sample"]
+        ).bottom_k_sample(
+            spark.read.parquet(f"{SF}/events.parquet"), 100, "user_id", ["user_id", "ts"]
+        ),
+        [
+            ("NO Python in plan (hash-ordered row_number)", "NO_PYTHON"),
+            ("exactly one exchange (the key shuffle)", "EXCHANGES_1"),
+            (
+                "PARTIAL per-task top-k BELOW the exchange (WindowGroupLimit rewrite)",
+                r"WindowGroupLimit[\s\S]*Exchange[\s\S]*WindowGroupLimit[\s\S]*Partial",
+            ),
+        ],
+    ),
     "refresh_tier (pruned, non-registry)": (
         _refresh_tier_pruned,
         [
