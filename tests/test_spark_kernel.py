@@ -240,6 +240,50 @@ def test_series_plan_prunes_html(spark):
         assert all("html" not in ln for ln in read_schema), plan
 
 
+def test_bucket_rollup_partition_matches_per_series():
+    """The partition-level run-boundary rollup (r4, reduceat over series
+    starts ∪ bucket changes) must reproduce the per-series pandas-groupby
+    reference: exact on cnt/min/max/first/last (incl. NaN stripes,
+    all-NaN buckets, single-point series, negative times, same bucket
+    value across a series boundary), vsum within float association
+    (pandas groupby-sum is Kahan-compensated; reduceat is the plain
+    sequential fold the staged JVM sum also uses)."""
+    from series_correction_project_updated_spark.operators.correct import (
+        _bucket_rollup,
+        _bucket_rollup_partition,
+    )
+
+    rng = np.random.default_rng(5)
+    outs, keys = [], []
+    for s in range(40):
+        n = int(rng.integers(1, 400))
+        t = np.sort(rng.uniform(-1e5, 1e6, n))
+        if s % 4 == 0:
+            t = np.arange(n, dtype=np.float64) * 20.0  # boundary-sharing buckets
+        v = rng.normal(0, 100, n)
+        v[rng.random(n) < 0.2] = np.nan
+        if s % 7 == 0:
+            v[:] = np.nan  # all-NaN series -> all-NaN buckets
+        outs.append(pd.DataFrame({"t": t, "value": v}))
+        keys.append(f"k{s:02d}")
+    got = _bucket_rollup_partition(outs, keys, 60)
+    want = pd.concat(
+        [_bucket_rollup(o, k, 60) for o, k in zip(outs, keys)], ignore_index=True
+    )
+    assert len(got) == len(want) and len(got) > 40
+    for c in ["series_key", "bucket_start", "cnt"]:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    for c in ["vmin", "vmax", "vfirst", "vlast"]:
+        a = got[c].to_numpy(dtype=np.float64)
+        b = want[c].to_numpy(dtype=np.float64)
+        assert (a.view(np.uint64) == b.view(np.uint64)).all(), c  # bit-exact, NaN-aware
+    np.testing.assert_allclose(
+        got["vsum"].to_numpy(), want["vsum"].to_numpy(), rtol=1e-12, equal_nan=True
+    )
+    # empty partition
+    assert len(_bucket_rollup_partition([], [], 60)) == 0
+
+
 def test_fused_correct_and_rollup_matches_staged(spark):
     """correct_and_rollup == rollup(correct_series(...)): exact on
     cnt/min/max/first/last, vsum within float-association tolerance."""
