@@ -183,6 +183,34 @@ def test_weighted_excludes_nonpositive_and_null(spark):
     assert [r.doc_id for r in out.collect()] == ["a"]
 
 
+def test_bernoulli_streaming_equals_batch(spark, tmp_path):
+    """hash_bernoulli is a stateless pure filter, so it runs unchanged on
+    a streaming DataFrame — and because the randomness is the hash, the
+    LIVE path keeps exactly the rows the batch path keeps (the property a
+    corpus pipeline needs: a doc sampled at ingest time stays sampled in
+    every later batch rebuild)."""
+    src = str(tmp_path / "sample_src")
+    batch = spark.range(2000).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("doc_id"),
+        (F.col("id") % 5).alias("domain"),
+    )
+    batch.write.parquet(src)
+    stored = spark.read.parquet(src)
+    stream = spark.readStream.schema(stored.schema).parquet(src)
+    q = (
+        hash_bernoulli(stream, 0.25, ["doc_id"])
+        .writeStream.format("memory")
+        .queryName("sample_sink")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    live = {r.doc_id for r in spark.table("sample_sink").collect()}
+    want = {r.doc_id for r in hash_bernoulli(stored, 0.25, ["doc_id"]).collect()}
+    assert live == want and 0 < len(live) < 2000
+
+
 def test_window_group_limit_plan_shape(docs):
     """The row_number ≤ k filter must plan a PARTIAL WindowGroupLimit
     below the exchange — per-task top-k before any shuffle, the shape
