@@ -143,19 +143,25 @@ def correct_and_rollup(
         if not chunks:
             return
         pdf = pd.concat(chunks, ignore_index=True)
-        outs, keys = [], []
+        ts_list, vs_list, keys = [], [], []
         for key, grp in pdf.groupby(key_col, sort=False):
             frame = grp[[time_col, value_col]].rename(columns={time_col: "t", value_col: "value"})
-            outs.append(oracle.process_series(frame, "t", "value", cfg))
+            out = oracle.process_series(frame, "t", "value", cfg)
+            # keep only the flat float64 arrays — the corrected frame is
+            # released per series, so peak worker memory stays pdf + flat
+            # arrays, not pdf + every corrected frame at once
+            ts_list.append(out["t"].to_numpy(dtype=np.float64))
+            vs_list.append(out["value"].to_numpy(dtype=np.float64))
             keys.append(key)
-        yield _bucket_rollup_partition(outs, keys, sec)
+        del pdf, chunks
+        yield _bucket_rollup_partition(ts_list, vs_list, keys, sec)
 
     return points.repartition(num_partitions, key_col).mapInPandas(
         _process_partition, schema=ROLLUP
     )
 
 
-def _bucket_rollup_partition(outs: list, keys: list, sec: int) -> pd.DataFrame:
+def _bucket_rollup_partition(ts_list: list, vs_list: list, keys: list, sec: int) -> pd.DataFrame:
     """Tier aggregation of a whole partition's corrected series in ONE
     vectorized pass (r4): each series frame is time-sorted by the kernel,
     so its tier buckets are CONTIGUOUS RUNS — run boundaries are the union
@@ -177,11 +183,9 @@ def _bucket_rollup_partition(outs: list, keys: list, sec: int) -> pd.DataFrame:
     association family as the staged JVM sum and inside the tolerance the
     fused-vs-staged test already bounds.
     """
-    arrs_t = [o["t"].to_numpy(dtype=np.float64) for o in outs]
-    arrs_v = [o["value"].to_numpy(dtype=np.float64) for o in outs]
-    t = np.concatenate(arrs_t) if arrs_t else np.array([], dtype=np.float64)
-    v = np.concatenate(arrs_v) if arrs_v else np.array([], dtype=np.float64)
-    lens = np.fromiter((len(o) for o in outs), dtype=np.int64, count=len(outs))
+    t = np.concatenate(ts_list) if ts_list else np.array([], dtype=np.float64)
+    v = np.concatenate(vs_list) if vs_list else np.array([], dtype=np.float64)
+    lens = np.fromiter((len(a) for a in ts_list), dtype=np.int64, count=len(ts_list))
     cols = ["series_key", "bucket_start", "cnt", "vsum", "vmin", "vmax", "vfirst", "vlast"]
     if len(t) == 0:
         return pd.DataFrame(
@@ -201,7 +205,10 @@ def _bucket_rollup_partition(outs: list, keys: list, sec: int) -> pd.DataFrame:
     change = np.empty(len(t), dtype=bool)
     change[0] = True
     np.not_equal(bucket[1:], bucket[:-1], out=change[1:])
-    change[series_starts] = True  # same bucket across a series boundary still splits
+    # a TRAILING zero-length series puts len(t) in series_starts — mask it
+    # before indexing (interior zero-length entries are harmless: they
+    # share the next series' start, which must split anyway)
+    change[series_starts[series_starts < len(t)]] = True  # same bucket across a series boundary still splits
     starts = np.flatnonzero(change)
     ends = np.concatenate((starts[1:], [len(t)]))
     ok = ~np.isnan(v)
@@ -284,16 +291,18 @@ def correct_rollup_lineage(
         if not chunks:
             return
         pdf = pd.concat(chunks, ignore_index=True)
-        outs, keys, lin_rows = [], [], []
+        ts_list, vs_list, keys, lin_rows = [], [], [], []
         for key, grp in pdf.groupby(key_col, sort=False):
             frame = grp[[time_col, value_col]].rename(columns={time_col: "t", value_col: "value"})
             out, stats = oracle.process_series_with_stats(frame, "t", "value", cfg)
-            outs.append(out)
+            ts_list.append(out["t"].to_numpy(dtype=np.float64))
+            vs_list.append(out["value"].to_numpy(dtype=np.float64))
             keys.append(key)
             lin_rows.extend(
                 (key, s, int(d), int(i), int(o), det) for s, d, i, o, det in stats
             )
-        agg = _bucket_rollup_partition(outs, keys, sec)
+        del pdf, chunks
+        agg = _bucket_rollup_partition(ts_list, vs_list, keys, sec)
         # the absent side's columns get explicit dtypes (nullable Int64 /
         # float64 / object) so the concat is dtype-stable
         agg["step"] = None

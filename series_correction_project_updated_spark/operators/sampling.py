@@ -123,10 +123,13 @@ def hash_split(
     projected CASE expression, zero shuffles."""
     if not weights:
         raise ValueError("weights must be non-empty")
-    if any(w < 0 for w in weights.values()):
+    # note the negated forms: `w < 0` / `abs(total-1) > 1e-9` are both
+    # False for NaN, which would wave a NaN weight through and silently
+    # label every row with the last split (u < NaN is never true)
+    if not all(w >= 0 for w in weights.values()):
         raise ValueError(f"weights must be >= 0, got {weights}")
     total = sum(weights.values())
-    if abs(total - 1.0) > 1e-9:
+    if not abs(total - 1.0) <= 1e-9:
         raise ValueError(f"weights must sum to 1, got {total}")
     if split_col in df.columns:
         raise ValueError(f"column {split_col!r} already exists")
@@ -161,6 +164,8 @@ def bottom_k_sample(
         raise ValueError(f"k must be >= 1, got {k}")
     if not id_cols:
         raise ValueError("id_cols must be non-empty")
+    if "__rn" in df.columns:
+        raise ValueError("input already has a '__rn' column; rename it first")
     h = F.xxhash64(*[F.col(c) for c in id_cols], F.lit(int(salt)))
     w = Window.partitionBy(key_col).orderBy(h.asc())
     return (
@@ -189,12 +194,17 @@ def weighted_bottom_k(
         raise ValueError(f"k must be >= 1, got {k}")
     if not id_cols:
         raise ValueError("id_cols must be non-empty")
+    if "__rn" in df.columns:
+        raise ValueError("input already has a '__rn' column; rename it first")
     u = _hash_u(id_cols, salt)
     wgt = F.col(weight_col).cast("double")
     key_expr = F.log(F.greatest(u, F.lit(_U_MIN))) / wgt
     w = Window.partitionBy(key_col).orderBy(key_expr.desc())
+    # NaN needs its own exclusion: Spark orders NaN ABOVE every number, so
+    # `wgt > 0` is TRUE for NaN and its NaN sort key would rank first —
+    # NaN-weight rows would crowd out the whole per-key sample
     return (
-        df.where(wgt.isNotNull() & (wgt > 0))
+        df.where(wgt.isNotNull() & ~F.isnan(wgt) & (wgt > 0))
         .withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= k)
         .drop("__rn")

@@ -174,13 +174,35 @@ def test_weighted_matches_numpy_reference(docs):
     assert got == want
 
 
-def test_weighted_excludes_nonpositive_and_null(spark):
+def test_weighted_excludes_nonpositive_null_and_nan(spark):
+    """NaN weights need their own exclusion (r4 code-review find): Spark
+    orders NaN above every number, so `wt > 0` is TRUE for NaN and its
+    NaN sort key would rank FIRST, crowding out the whole per-key pick."""
     df = spark.createDataFrame(
-        [("k", "a", 1.0), ("k", "b", 0.0), ("k", "c", -2.0), ("k", "d", None)],
+        [
+            ("k", "a", 1.0),
+            ("k", "b", 0.0),
+            ("k", "c", -2.0),
+            ("k", "d", None),
+            ("k", "e", float("nan")),
+            ("k", "f", float("nan")),
+        ],
         "domain string, doc_id string, wt double",
     )
-    out = weighted_bottom_k(df, 10, "domain", "wt", ["doc_id"])
+    out = weighted_bottom_k(df, 2, "domain", "wt", ["doc_id"])
     assert [r.doc_id for r in out.collect()] == ["a"]
+
+
+def test_nan_weight_and_rn_collision_validation(docs, spark):
+    with pytest.raises(ValueError):  # NaN sums pass neither check silently
+        hash_split(docs, {"a": float("nan"), "b": 0.5}, ["doc_id"])
+    with pytest.raises(ValueError):
+        stratified_bernoulli(docs, {0: float("nan")}, "domain", ["doc_id"])
+    carrying = docs.withColumn("__rn", F.lit(1))
+    with pytest.raises(ValueError):  # would silently drop the caller's column
+        bottom_k_sample(carrying, 3, "domain", ["doc_id"])
+    with pytest.raises(ValueError):
+        weighted_bottom_k(carrying, 3, "domain", "wt", ["doc_id"])
 
 
 def test_bernoulli_streaming_equals_batch(spark, tmp_path):

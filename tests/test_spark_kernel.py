@@ -266,7 +266,9 @@ def test_bucket_rollup_partition_matches_per_series():
             v[:] = np.nan  # all-NaN series -> all-NaN buckets
         outs.append(pd.DataFrame({"t": t, "value": v}))
         keys.append(f"k{s:02d}")
-    got = _bucket_rollup_partition(outs, keys, 60)
+    ts_list = [o["t"].to_numpy(dtype=np.float64) for o in outs]
+    vs_list = [o["value"].to_numpy(dtype=np.float64) for o in outs]
+    got = _bucket_rollup_partition(ts_list, vs_list, keys, 60)
     want = pd.concat(
         [_bucket_rollup(o, k, 60) for o, k in zip(outs, keys)], ignore_index=True
     )
@@ -281,7 +283,15 @@ def test_bucket_rollup_partition_matches_per_series():
         got["vsum"].to_numpy(), want["vsum"].to_numpy(), rtol=1e-12, equal_nan=True
     )
     # empty partition
-    assert len(_bucket_rollup_partition([], [], 60)) == 0
+    assert len(_bucket_rollup_partition([], [], [], 60)) == 0
+    # zero-length series anywhere — including TRAILING, which used to
+    # index change[] out of bounds (r4 code-review find) — own no rows
+    e = np.array([], dtype=np.float64)
+    two_t = np.array([0.0, 30.0])
+    two_v = np.array([1.0, 2.0])
+    mixed = _bucket_rollup_partition([e, two_t, e], [e, two_v, e], ["a", "b", "c"], 60)
+    assert mixed["series_key"].tolist() == ["b"]
+    assert mixed["cnt"].tolist() == [2]
 
 
 def test_fused_correct_and_rollup_matches_staged(spark):
