@@ -53,6 +53,10 @@ def main() -> None:
         ap.error("exactly one of --splits / --rate / --per-key is required")
     if args.per_key is not None and not args.key_col:
         ap.error("--per-key requires --key-col")
+    if args.per_key is None and (args.key_col or args.weight_col):
+        # refuse rather than silently ignore: '--rate 0.1 --weight-col w'
+        # would otherwise run an UNWEIGHTED Bernoulli with no warning
+        ap.error("--key-col/--weight-col only apply to --per-key mode")
 
     spark = get_spark(app_name="corpus-sample")
     spark.sparkContext.setLogLevel("ERROR")

@@ -52,14 +52,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-_U_SCALE = 2.0**64  # signed xxhash64 / 2^64 + 0.5 -> uniform in [0, 1)
-_U_MIN = 2.0**-64  # floor for ln(u): u=0 happens only at hash == -2^63
+_U_MIN = 2.0**-53  # floor for ln(u): u=0 happens only when the top 53 bits are 0
 
 
 def _hash_u(id_cols: list[str], salt: int):
-    """Deterministic uniform in [0, 1) from row identity — JVM-side."""
+    """Deterministic uniform in [0, 1) from row identity — JVM-side.
+
+    Uses only the TOP 53 bits of the hash so every value is exactly
+    representable as a double: ``(h >>> 11) * 2^-53`` is uniform on the
+    2^53-point grid [0, 1 - 2^-53] with NO rounding. The naive
+    ``h/2^64 + 0.5`` form is wrong at the edge — hashes within 512 of
+    2^63 round UP to exactly 1.0, violating the [0, 1) contract (a
+    ``rate=1.0`` Bernoulli would drop those rows, and ln(1.0)=0 would be
+    the maximal A-ES key regardless of weight). ~2.8e-17 per row, but the
+    module targets 10^12-row corpora."""
     h = F.xxhash64(*[F.col(c) for c in id_cols], F.lit(int(salt)))
-    return h / F.lit(_U_SCALE) + F.lit(0.5)
+    return F.shiftrightunsigned(h, 11).cast("double") * F.lit(2.0**-53)
 
 
 def hash_bernoulli(
@@ -156,10 +164,10 @@ def bottom_k_sample(
     """Per-``key_col`` uniform sample of ``k`` rows without replacement:
     the rows whose hashes are the k smallest within the key (all rows
     when the key has fewer than k). Deterministic, nested in k, and
-    mergeable across shards (KMV law — see module doc). Rows must be
-    unique in ``id_cols`` within a key for a well-defined pick (hash
-    ties are broken by the hash itself, which only ties when the ids
-    collide)."""
+    mergeable across shards (KMV law — see module doc). A 64-bit hash
+    collision between distinct ids is broken deterministically by the id
+    columns themselves, so the boundary pick is partition-invariant even
+    then."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if not id_cols:
@@ -167,7 +175,7 @@ def bottom_k_sample(
     if "__rn" in df.columns:
         raise ValueError("input already has a '__rn' column; rename it first")
     h = F.xxhash64(*[F.col(c) for c in id_cols], F.lit(int(salt)))
-    w = Window.partitionBy(key_col).orderBy(h.asc())
+    w = Window.partitionBy(key_col).orderBy(h.asc(), *[F.col(c) for c in id_cols])
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= k)
@@ -188,8 +196,10 @@ def weighted_bottom_k(
     ``ln(u)/w`` (u = hash uniform, w = ``weight_col``) — inclusion
     probability proportional to weight at each of the k draws, exactly
     the reservoir semantics, but deterministic in the hash. Rows with
-    null or non-positive weight are excluded. Same WindowGroupLimit
-    plan shape as ``bottom_k_sample``."""
+    null or non-positive weight are excluded. Equal A-ES keys (hash
+    collisions / clamped u) are broken deterministically by the id
+    columns so the boundary pick is partition-invariant. Same
+    WindowGroupLimit plan shape as ``bottom_k_sample``."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if not id_cols:
@@ -199,7 +209,9 @@ def weighted_bottom_k(
     u = _hash_u(id_cols, salt)
     wgt = F.col(weight_col).cast("double")
     key_expr = F.log(F.greatest(u, F.lit(_U_MIN))) / wgt
-    w = Window.partitionBy(key_col).orderBy(key_expr.desc())
+    w = Window.partitionBy(key_col).orderBy(
+        key_expr.desc(), *[F.col(c) for c in id_cols]
+    )
     # NaN needs its own exclusion: Spark orders NaN ABOVE every number, so
     # `wgt > 0` is TRUE for NaN and its NaN sort key would rank first —
     # NaN-weight rows would crowd out the whole per-key sample
