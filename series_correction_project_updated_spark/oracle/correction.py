@@ -512,29 +512,53 @@ def process_series_with_stats(
     Stats rows are ``(step, n_detected, n_rows_in, n_rows_out, detail)`` in
     pipeline order (gaps, outliers, jumps) — the reference's correction-log
     record at series granularity (scripts/apply_refined_corrections.py:185-194).
+
+    ``config["steps"]`` (optional collection of ``"gaps"``/``"outliers"``/
+    ``"jumps"``; default all three) ACTUALLY SKIPS disabled stages — both
+    detection and correction — instead of running detectors whose triggers
+    are then suppressed by an extreme threshold. A gap-only production run
+    (``steps=("gaps",)``) pays for neither the rolling median/MAD z-pass nor
+    the CUSUM scan. Skipped steps still emit a stats row (n_detected=0,
+    detail="skipped") so the lineage schema is stable.
     """
     cfg = {**DEFAULT_CONFIG, **(config or {})}
+    steps = frozenset(cfg.get("steps") or ("gaps", "outliers", "jumps"))
+    unknown = steps - {"gaps", "outliers", "jumps"}
+    if unknown:
+        raise ValueError(f"unknown steps: {sorted(unknown)}")
     data = _sorted_by_time(df, time_col)
     n_in = len(data)
 
-    gaps = detect_gaps(data[time_col].to_numpy(), cfg["gap_threshold_factor"])
-    if gaps:
-        data = correct_gaps(data, gaps, time_col, [value_col], cfg["gap_method"])
-        data = _sorted_by_time(data, time_col)
-    n_after_gaps = len(data)
-    stats = [("gaps", len(gaps), n_in, n_after_gaps, f"inserted={n_after_gaps - n_in}")]
+    if "gaps" in steps:
+        gaps = detect_gaps(data[time_col].to_numpy(), cfg["gap_threshold_factor"])
+        if gaps:
+            data = correct_gaps(data, gaps, time_col, [value_col], cfg["gap_method"])
+            data = _sorted_by_time(data, time_col)
+        n_after_gaps = len(data)
+        stats = [("gaps", len(gaps), n_in, n_after_gaps, f"inserted={n_after_gaps - n_in}")]
+    else:
+        n_after_gaps = n_in
+        stats = [("gaps", 0, n_in, n_in, "skipped")]
 
-    outliers = detect_outliers(
-        data[value_col].astype(float).to_numpy(), cfg["window_size"], cfg["threshold"]
-    )
-    if outliers:
-        data = correct_outliers(data, outliers, value_col, cfg["window_size"], cfg["outlier_method"])
-    stats.append(("outliers", len(outliers), n_after_gaps, len(data), ""))
+    if "outliers" in steps:
+        outliers = detect_outliers(
+            data[value_col].astype(float).to_numpy(), cfg["window_size"], cfg["threshold"]
+        )
+        if outliers:
+            data = correct_outliers(
+                data, outliers, value_col, cfg["window_size"], cfg["outlier_method"]
+            )
+        stats.append(("outliers", len(outliers), n_after_gaps, len(data), ""))
+    else:
+        stats.append(("outliers", 0, n_after_gaps, len(data), "skipped"))
 
-    jumps = detect_jumps(data[value_col].to_numpy(), cfg["window_size"], cfg["threshold"])
-    if jumps:
-        data = correct_jumps(data, jumps, value_col, cfg["window_size"])
-    stats.append(("jumps", len(jumps), len(data), len(data), ""))
+    if "jumps" in steps:
+        jumps = detect_jumps(data[value_col].to_numpy(), cfg["window_size"], cfg["threshold"])
+        if jumps:
+            data = correct_jumps(data, jumps, value_col, cfg["window_size"])
+        stats.append(("jumps", len(jumps), len(data), len(data), ""))
+    else:
+        stats.append(("jumps", 0, len(data), len(data), "skipped"))
 
     return data, stats
 

@@ -2182,9 +2182,10 @@ FROM z GROUP BY series_key ORDER BY series_key
 
 def q_gapfill_linear(spark, sf_dir):
     """The gap-fill half of the correction kernel under a restricted config
-    (outlier/jump detection disabled via threshold=1e18), giving the Arrow
-    kernel its first independent driver value-check (r2 verdict #4): median
-    time-delta gap detection, linspace row synthesis
+    (``steps=("gaps",)`` — outlier/jump detection genuinely SKIPPED, not
+    merely suppressed by an extreme threshold; r4 verdict #4), giving the
+    Arrow kernel its first independent driver value-check (r2 verdict #4):
+    median time-delta gap detection, linspace row synthesis
     (discontinuity_utils.py:28-141 semantics: step from the interval before
     the gap, num_missing = round_even(span/step)-1, endpoint-pinned
     linspace), and pandas positional linear interpolation — all reproduced
@@ -2200,7 +2201,7 @@ def q_gapfill_linear(spark, sf_dir):
     pts = _event_points(spark, sf_dir).select(
         F.col("user_id").cast("string").alias("series_key"), "t", "value"
     )
-    out = correct_series(pts, config={"threshold": 1e18})
+    out = correct_series(pts, config={"steps": ("gaps",)})
     quantized = out.select(
         "series_key",
         (F.floor(F.col("t") * 1000 + F.lit(0.5)) / 1000).alias("t"),

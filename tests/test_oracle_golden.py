@@ -188,3 +188,43 @@ def test_correct_gaps_fast_path_equals_pandas_path():
         )
         checked += 1
     assert checked > 50
+
+
+def test_steps_knob_skips_stages():
+    """config['steps'] genuinely skips disabled stages: gap-only output is
+    bit-identical to the full pipeline on data where outliers/jumps never
+    trigger, stats rows mark skipped stages, unknown names raise."""
+    import numpy as np
+    import pandas as pd
+
+    from series_correction_project_updated_spark.oracle import correction as oracle
+
+    rng = np.random.default_rng(11)
+    t = np.cumsum(rng.choice([5.0, 5.0, 5.0, 60.0], size=120))
+    v = np.cumsum(rng.normal(0, 0.01, 120)).round(4)
+    df = pd.DataFrame({"t": t, "value": v})
+
+    full, full_stats = oracle.process_series_with_stats(df, "t", "value", {"threshold": 1e18})
+    gaps_only, stats = oracle.process_series_with_stats(
+        df, "t", "value", {"steps": ("gaps",)}
+    )
+    assert np.array_equal(full["t"].to_numpy(), gaps_only["t"].to_numpy())
+    assert np.array_equal(
+        full["value"].to_numpy(), gaps_only["value"].to_numpy(), equal_nan=True
+    )
+    assert [s[0] for s in stats] == ["gaps", "outliers", "jumps"]
+    assert stats[1][4] == "skipped" and stats[2][4] == "skipped"
+    assert stats[1][1] == 0 and stats[2][1] == 0
+    # row counts flow through the skipped stages unchanged
+    assert stats[0][3] == stats[1][2] == stats[1][3] == stats[2][2] == stats[2][3]
+    assert len(full_stats) == 3 and full_stats[1][4] != "skipped"
+
+    # default = all steps: identical to not passing steps at all
+    a = oracle.process_series(df, "t", "value", {})
+    b = oracle.process_series(df, "t", "value", {"steps": ("gaps", "outliers", "jumps")})
+    assert np.array_equal(a["value"].to_numpy(), b["value"].to_numpy(), equal_nan=True)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown steps"):
+        oracle.process_series(df, "t", "value", {"steps": ("gaps", "bogus")})
