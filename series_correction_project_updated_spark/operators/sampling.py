@@ -55,7 +55,23 @@ from pyspark.sql import functions as F
 _U_MIN = 2.0**-53  # floor for ln(u): u=0 happens only when the top 53 bits are 0
 
 
-def _hash_u(id_cols: list[str], salt: int):
+def _raw_hash(id_cols: list[str], salt: int, portable: bool = False):
+    """The sampler's hash integer. Default: ``xxhash64(id_cols, salt)``
+    (signed 64-bit, JVM-native). ``portable=True``: the 60-bit md5-prefix
+    hash over ``concat_ws('|', id_cols, salt)`` — slower, but every value
+    is reproducible in ANSI SQL (DuckDB: ``('0x' || substr(md5(k), 1,
+    15))::BIGINT``), which is what lets the driver's oracle hash-check the
+    samplers end to end (q_sample_splits). Same trick as
+    ``dedup.portable_hash60``."""
+    if portable:
+        key = F.concat_ws(
+            "|", *[F.col(c).cast("string") for c in id_cols], F.lit(str(int(salt)))
+        )
+        return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+    return F.xxhash64(*[F.col(c) for c in id_cols], F.lit(int(salt)))
+
+
+def _hash_u(id_cols: list[str], salt: int, portable: bool = False):
     """Deterministic uniform in [0, 1) from row identity — JVM-side.
 
     Uses only the TOP 53 bits of the hash so every value is exactly
@@ -63,11 +79,13 @@ def _hash_u(id_cols: list[str], salt: int):
     2^53-point grid [0, 1 - 2^-53] with NO rounding. The naive
     ``h/2^64 + 0.5`` form is wrong at the edge — hashes within 512 of
     2^63 round UP to exactly 1.0, violating the [0, 1) contract (a
-    ``rate=1.0`` Bernoulli would drop those rows, and ln(1.0)=0 would be
+    ``rate=1.0`` Bernoulli would drop such rows, and ln(1.0)=0 would be
     the maximal A-ES key regardless of weight). ~2.8e-17 per row, but the
-    module targets 10^12-row corpora."""
-    h = F.xxhash64(*[F.col(c) for c in id_cols], F.lit(int(salt)))
-    return F.shiftrightunsigned(h, 11).cast("double") * F.lit(2.0**-53)
+    module targets 10^12-row corpora. Portable mode shifts the 60-bit
+    hash by 7 for the same exactly-representable 53-bit grid."""
+    h = _raw_hash(id_cols, salt, portable)
+    shift = 7 if portable else 11
+    return F.shiftrightunsigned(h, shift).cast("double") * F.lit(2.0**-53)
 
 
 def hash_bernoulli(
@@ -75,6 +93,7 @@ def hash_bernoulli(
     rate: float,
     id_cols: list[str],
     salt: int = 0,
+    portable: bool = False,
 ) -> DataFrame:
     """Keep each row iff ``hash_u(id_cols, salt) < rate`` — a
     deterministic Bernoulli(rate) sample. Zero shuffles (a pushdown-able
@@ -84,7 +103,7 @@ def hash_bernoulli(
         raise ValueError(f"rate must be in [0, 1], got {rate}")
     if not id_cols:
         raise ValueError("id_cols must be non-empty")
-    return df.where(_hash_u(id_cols, salt) < F.lit(float(rate)))
+    return df.where(_hash_u(id_cols, salt, portable) < F.lit(float(rate)))
 
 
 def stratified_bernoulli(
@@ -94,6 +113,7 @@ def stratified_bernoulli(
     id_cols: list[str],
     salt: int = 0,
     default_rate: float = 0.0,
+    portable: bool = False,
 ) -> DataFrame:
     """Per-stratum Bernoulli — ``rates`` maps stratum values (e.g. domain,
     language) to keep-rates; strata absent from the map use
@@ -114,7 +134,7 @@ def stratified_bernoulli(
     rate = F.lit(float(default_rate))
     for s, r in rates.items():
         rate = F.when(F.col(stratum_col) == F.lit(s), F.lit(float(r))).otherwise(rate)
-    return df.where(_hash_u(id_cols, salt) < rate)
+    return df.where(_hash_u(id_cols, salt, portable) < rate)
 
 
 def hash_split(
@@ -123,6 +143,7 @@ def hash_split(
     id_cols: list[str],
     salt: int = 0,
     split_col: str = "split",
+    portable: bool = False,
 ) -> DataFrame:
     """Label every row with a split name by disjoint hash ranges —
     ``{"train": 0.98, "val": 0.01, "test": 0.01}`` — an exhaustive,
@@ -141,7 +162,7 @@ def hash_split(
         raise ValueError(f"weights must sum to 1, got {total}")
     if split_col in df.columns:
         raise ValueError(f"column {split_col!r} already exists")
-    u = _hash_u(id_cols, salt)
+    u = _hash_u(id_cols, salt, portable)
     names = list(weights)
     expr = F.lit(names[-1])  # the last split takes everything remaining
     hi = 0.0
@@ -160,6 +181,7 @@ def bottom_k_sample(
     key_col: str,
     id_cols: list[str],
     salt: int = 0,
+    portable: bool = False,
 ) -> DataFrame:
     """Per-``key_col`` uniform sample of ``k`` rows without replacement:
     the rows whose hashes are the k smallest within the key (all rows
@@ -174,7 +196,7 @@ def bottom_k_sample(
         raise ValueError("id_cols must be non-empty")
     if "__rn" in df.columns:
         raise ValueError("input already has a '__rn' column; rename it first")
-    h = F.xxhash64(*[F.col(c) for c in id_cols], F.lit(int(salt)))
+    h = _raw_hash(id_cols, salt, portable)
     w = Window.partitionBy(key_col).orderBy(h.asc(), *[F.col(c) for c in id_cols])
     return (
         df.withColumn("__rn", F.row_number().over(w))
@@ -190,6 +212,7 @@ def weighted_bottom_k(
     weight_col: str,
     id_cols: list[str],
     salt: int = 0,
+    portable: bool = False,
 ) -> DataFrame:
     """Per-key weighted sample of ``k`` rows without replacement
     (Efraimidis–Spirakis A-ES): keep the k rows maximizing
@@ -206,7 +229,7 @@ def weighted_bottom_k(
         raise ValueError("id_cols must be non-empty")
     if "__rn" in df.columns:
         raise ValueError("input already has a '__rn' column; rename it first")
-    u = _hash_u(id_cols, salt)
+    u = _hash_u(id_cols, salt, portable)
     wgt = F.col(weight_col).cast("double")
     key_expr = F.log(F.greatest(u, F.lit(_U_MIN))) / wgt
     w = Window.partitionBy(key_col).orderBy(

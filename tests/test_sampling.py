@@ -246,3 +246,26 @@ def test_window_group_limit_plan_shape(docs):
         i_partial = plan.index("Partial")
         i_exchange = plan.index("Exchange")
         assert i_partial > i_exchange  # partial limit is BELOW the exchange
+
+
+def test_portable_mode_matches_law(docs):
+    """portable=True swaps only the hash primitive: rates still hold
+    approximately, nesting and split exhaustiveness exactly, and the
+    portable draw differs from the xxhash64 draw (it is a different
+    hash, not a reseed)."""
+    a = set(r["doc_id"] for r in hash_bernoulli(docs, 0.2, ["doc_id"], salt=7, portable=True).select("doc_id").collect())
+    b = set(r["doc_id"] for r in hash_bernoulli(docs, 0.05, ["doc_id"], salt=7, portable=True).select("doc_id").collect())
+    assert b <= a  # nesting law holds in portable mode
+    n = docs.count()
+    assert 0.1 * n <= len(a) <= 0.3 * n
+
+    xx = set(r["doc_id"] for r in hash_bernoulli(docs, 0.2, ["doc_id"], salt=7).select("doc_id").collect())
+    assert a != xx  # genuinely different hash family
+
+    lab = hash_split(docs, {"train": 0.8, "val": 0.2}, ["doc_id"], salt=3, portable=True)
+    assert lab.count() == n
+    assert set(r["split"] for r in lab.select("split").distinct().collect()) <= {"train", "val"}
+
+    bk = bottom_k_sample(docs, 3, "domain", ["doc_id"], salt=0, portable=True)
+    sizes = {r["domain"]: r["count"] for r in bk.groupBy("domain").count().collect()}
+    assert all(v <= 3 for v in sizes.values())
