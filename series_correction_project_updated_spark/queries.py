@@ -2867,6 +2867,332 @@ ORDER BY part, url, t
 """
 
 
+def q_analytics_tier(spark, sf_dir):
+    """Event-analytics union entry (r4 verdict ask #2): five previously
+    pytest-only operator families hash-checked in one slot, shared
+    (op, key, bucket, s, x1..x4) schema over the events table.
+
+    * op='timeweight' — time_weighted_rollup 1h (trapezoid integral with
+      bucket-edge segment splitting; TimescaleDB time_weight semantics):
+      integral/covered_sec/twa per (user, bucket).
+    * op='stateagg' — state_rollup 1h over event_type as the state
+      column (LOCF time-in-state, edge-split additive): duration per
+      (user, bucket, state).
+    * op='session' — session_stats (native session_window, 30 min gap;
+      merge-on-touch boundary): start/end/n_events/vsum per session.
+      The oracle is the independent lag + running-break-sum form, so the
+      hash also proves the two sessionization shapes agree.
+    * op='funnel' — funnel_reach over view→click→purchase within 7
+      days (single-shuffle sort+fold): per-user first-reach times +
+      depth. (user_id, ts) is unique in the events table, so the
+      oracle's sequential min-after-previous-step form is exact.
+    * op='topk' — topk_rollup 1d global top-3 (exact in-bucket counts;
+      the SpaceSaving bounds stay pytest-pinned): rank/item/cnt/total.
+    """
+    from .operators.funnel import funnel_reach
+    from .operators.sessionize import session_stats
+    from .operators.stateagg import state_rollup
+    from .operators.timeweight import time_weighted_rollup
+    from .operators.topk import topk_rollup
+
+    ev = load(spark, sf_dir, "events")
+    pts = _event_points(spark, sf_dir).select(
+        F.col("user_id").alias("series_key"), "t", "value"
+    )
+    key = F.col("series_key").cast("string").alias("key")
+    nulls = lambda i0: [F.lit(None).cast("double").alias(f"x{i}") for i in range(i0, 5)]  # noqa: E731
+    nobucket = F.lit(None).cast("long").alias("bucket")
+
+    tw = time_weighted_rollup(pts, "1h").select(
+        F.lit("timeweight").alias("op"), key, F.col("bucket_start").alias("bucket"),
+        F.lit("").alias("s"),
+        F.round("integral", 4).alias("x1"),
+        F.round("covered_sec", 6).alias("x2"),
+        F.round("twa", 6).alias("x3"),
+        *nulls(4),
+    )
+    st = state_rollup(
+        ev.select(
+            F.col("user_id").alias("series_key"),
+            (F.unix_millis(F.col("ts").cast("timestamp")) / 1000.0).alias("t"),
+            F.col("event_type").alias("state"),
+        ),
+        "1h",
+        time_col="t",
+    ).select(
+        F.lit("stateagg").alias("op"), key, F.col("bucket_start").alias("bucket"),
+        F.col("state").alias("s"),
+        F.round("duration_sec", 6).alias("x1"),
+        *nulls(2),
+    )
+    ss = session_stats(ev, gap_sec=1800.0).select(
+        F.lit("session").alias("op"),
+        F.col("user_id").cast("string").alias("key"),
+        nobucket,
+        F.lit("").alias("s"),
+        (F.unix_millis(F.col("session_start").cast("timestamp")) / 1000.0).alias("x1"),
+        (F.unix_millis(F.col("session_end").cast("timestamp")) / 1000.0).alias("x2"),
+        F.col("n_events").cast("double").alias("x3"),
+        F.round("vsum", 4).alias("x4"),
+    )
+    fr = funnel_reach(ev, ["view", "click", "purchase"], within_sec=604800.0).select(
+        F.lit("funnel").alias("op"),
+        F.col("user_id").cast("string").alias("key"),
+        nobucket,
+        F.lit("").alias("s"),
+        F.round(F.element_at("step_ts", 1), 6).alias("x1"),
+        F.round(F.element_at("step_ts", 2), 6).alias("x2"),
+        F.round(F.element_at("step_ts", 3), 6).alias("x3"),
+        F.col("steps_reached").cast("double").alias("x4"),
+    )
+    tk = (
+        topk_rollup(ev, "1d", m=3)
+        .select("bucket_start", "n", F.posexplode("items").alias("pos", "it"))
+        .select(
+            F.lit("topk").alias("op"),
+            F.lit("").alias("key"),
+            F.col("bucket_start").alias("bucket"),
+            F.col("it.item").alias("s"),
+            (F.col("pos") + 1).cast("double").alias("x1"),
+            F.col("it.lo").alias("x2"),
+            F.col("n").cast("double").alias("x3"),
+            *nulls(4),
+        )
+    )
+    out = tw
+    for p in (st, ss, fr, tk):
+        out = out.unionByName(p)
+    return out.orderBy("op", "key", "bucket", "s", "x1")
+
+
+SQL_ANALYTICS_TIER = r"""
+WITH pts AS (
+  -- t: ms-truncated epoch (matches Spark unix_millis/1000.0 used by the
+  -- rollup/session/topk arms); tf: full-microsecond epoch (matches the
+  -- funnel fold's cast(ts as double) = micros/1e6 — the two differ in the
+  -- last ulp and round(x, 6) would flip)
+  SELECT user_id, epoch_ms(ts)/1000.0 AS t, epoch(ts) AS tf, value, event_type
+  FROM events
+),
+seg AS (
+  SELECT * FROM (
+    SELECT user_id, t AS t0, value AS v0,
+           lead(t) OVER w AS t1, lead(value) OVER w AS v1
+    FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY t)
+  ) WHERE t1 IS NOT NULL AND t1 > t0
+),
+twp AS (
+  SELECT user_id, e AS bucket_start,
+         greatest(t0, CAST(e AS DOUBLE)) AS a,
+         least(t1, CAST(e + 3600 AS DOUBLE)) AS b,
+         t0, t1, v0, v1
+  FROM seg,
+       unnest(generate_series(CAST(floor(t0/3600)*3600 AS BIGINT),
+                              CAST(floor(t1/3600)*3600 AS BIGINT), 3600)) AS g(e)
+),
+tw AS (
+  SELECT user_id, bucket_start,
+         round(sum((b - a) * ((v0 + ((v1 - v0)/(t1 - t0))*(a - t0))
+                            + (v0 + ((v1 - v0)/(t1 - t0))*(b - t0))) / 2.0), 4) AS integral,
+         round(sum(b - a), 6) AS covered_sec,
+         round(sum((b - a) * ((v0 + ((v1 - v0)/(t1 - t0))*(a - t0))
+                            + (v0 + ((v1 - v0)/(t1 - t0))*(b - t0))) / 2.0)
+               / sum(b - a), 6) AS twa
+  FROM twp WHERE b - a > 0
+  GROUP BY user_id, bucket_start
+),
+sseg AS (
+  SELECT * FROM (
+    SELECT user_id, t AS t0, event_type AS state, lead(t) OVER w AS t1
+    FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY t, event_type)
+  ) WHERE t1 IS NOT NULL AND t1 > t0
+),
+stp AS (
+  SELECT user_id, state, e AS bucket_start,
+         least(t1, CAST(e + 3600 AS DOUBLE)) - greatest(t0, CAST(e AS DOUBLE)) AS dur
+  FROM sseg,
+       unnest(generate_series(CAST(floor(t0/3600)*3600 AS BIGINT),
+                              CAST(floor(t1/3600)*3600 AS BIGINT), 3600)) AS g(e)
+),
+st AS (
+  SELECT user_id, bucket_start, state, round(sum(dur), 6) AS duration_sec
+  FROM stp WHERE dur > 0 GROUP BY user_id, bucket_start, state
+),
+brk AS (
+  SELECT user_id, t, value,
+         CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800 THEN 1 ELSE 0 END AS b
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY t)
+),
+sess AS (
+  SELECT user_id, t, value,
+         sum(b) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid
+  FROM brk
+),
+ss AS (
+  SELECT user_id, min(t) AS session_start, max(t) AS session_end,
+         count(*) AS n_events, round(sum(value), 4) AS vsum
+  FROM sess GROUP BY user_id, sid
+),
+f1 AS (
+  SELECT user_id, min(tf) AS t1 FROM pts WHERE event_type = 'view' GROUP BY user_id
+),
+f2 AS (
+  SELECT p.user_id, min(p.tf) AS t2
+  FROM pts p JOIN f1 USING (user_id)
+  WHERE p.event_type = 'click' AND p.tf > f1.t1 AND p.tf - f1.t1 <= 604800
+  GROUP BY p.user_id
+),
+f3 AS (
+  SELECT p.user_id, min(p.tf) AS t3
+  FROM pts p JOIN f2 USING (user_id) JOIN f1 USING (user_id)
+  WHERE p.event_type = 'purchase' AND p.tf > f2.t2 AND p.tf - f1.t1 <= 604800
+  GROUP BY p.user_id
+),
+funnel AS (
+  SELECT u.user_id,
+         round(f1.t1, 6) AS t1, round(f2.t2, 6) AS t2, round(f3.t3, 6) AS t3,
+         (CASE WHEN f1.t1 IS NULL THEN 0 ELSE 1 END
+          + CASE WHEN f2.t2 IS NULL THEN 0 ELSE 1 END
+          + CASE WHEN f3.t3 IS NULL THEN 0 ELSE 1 END) AS depth
+  FROM (SELECT DISTINCT user_id FROM events) u
+  LEFT JOIN f1 USING (user_id) LEFT JOIN f2 USING (user_id) LEFT JOIN f3 USING (user_id)
+),
+cnts AS (
+  SELECT CAST(floor(t/86400)*86400 AS BIGINT) AS bucket_start,
+         event_type AS item, CAST(count(*) AS DOUBLE) AS cnt
+  FROM pts WHERE event_type IS NOT NULL GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY bucket_start ORDER BY cnt DESC, item DESC) AS rn,
+         CAST(CAST(sum(cnt) OVER (PARTITION BY bucket_start) AS BIGINT) AS DOUBLE) AS tot
+  FROM cnts
+)
+SELECT * FROM (
+  SELECT 'timeweight' AS op, user_id::VARCHAR AS key, bucket_start AS bucket, '' AS s,
+         integral AS x1, covered_sec AS x2, twa AS x3, NULL::DOUBLE AS x4
+  FROM tw
+  UNION ALL
+  SELECT 'stateagg', user_id::VARCHAR, bucket_start, state,
+         duration_sec, NULL, NULL, NULL
+  FROM st
+  UNION ALL
+  SELECT 'session', user_id::VARCHAR, NULL, '',
+         session_start, session_end, CAST(n_events AS DOUBLE), vsum
+  FROM ss
+  UNION ALL
+  SELECT 'funnel', user_id::VARCHAR, NULL, '',
+         t1, t2, t3, CAST(depth AS DOUBLE)
+  FROM funnel
+  UNION ALL
+  SELECT 'topk', '', bucket_start, item,
+         CAST(rn AS DOUBLE), cnt, tot, NULL
+  FROM ranked WHERE rn <= 3
+)
+ORDER BY op, key, bucket, s, x1
+"""
+
+
+def q_smooth(spark, sf_dir):
+    """EWM + Holt smoothing driver entry (operators/smooth, r4 verdict ask
+    #5) — the first EXTERNAL value-check of the carry-seeded linear block
+    scans (previously pandas-parity pytest only).
+
+    op='ewm': ewma_smooth(α=1/3) — mean/std/one-step z. op='holt':
+    holt_smooth(α=1/3, β=1/7) — level/trend/yhat. NON-DECIMAL
+    params on purpose: the vectorized scans drift ~1e-12 from the scalar
+    recurrence, and with decimal params (0.5, 0.3, …) over the 2-decimal
+    input values the TRUE outputs are finite decimals that frequently sit
+    exactly on the 4dp half-boundary, where any quantization flips on
+    that drift. 1/3 and 1/7 are non-terminating in both binary and
+    decimal, so outputs are generic reals and the drift is invisible at
+    the floor-quantized 4dp. The oracle replays the
+    SCALAR recurrences with DuckDB recursive CTEs."""
+    from .operators.smooth import ewma_smooth, holt_smooth
+
+    pts = _event_points(spark, sf_dir).select(
+        F.col("user_id").alias("series_key"), "t", "value"
+    )
+    key = F.col("series_key").cast("string").alias("key")
+    # floor-quantize, not round(): with exactly-representable α/β the
+    # outputs land on exact binary half-boundaries where Spark HALF_UP and
+    # DuckDB half-even disagree (the q_gapfill_linear lesson) — floor of
+    # x*1e4+0.5 is identical IEEE arithmetic on both engines
+    q4 = lambda c: (F.floor(F.col(c) * 10000 + F.lit(0.5)) / 10000).alias  # noqa: E731
+    e = ewma_smooth(pts, alpha=1 / 3).select(
+        F.lit("ewm").alias("op"), key, F.round("t", 6).alias("t"), "value",
+        q4("ewma")("x1"),
+        q4("ewm_std")("x2"),
+        q4("ewm_z")("x3"),
+    )
+    h = holt_smooth(pts, alpha=1 / 3, beta=1 / 7).select(
+        F.lit("holt").alias("op"), key, F.round("t", 6).alias("t"), "value",
+        q4("level")("x1"),
+        q4("trend")("x2"),
+        q4("yhat")("x3"),
+    )
+    return e.unionByName(h).orderBy("op", "key", "t")
+
+
+SQL_SMOOTH = r"""
+WITH RECURSIVE pts AS (
+  SELECT user_id, epoch_ms(ts)/1000.0 AS t, value FROM events
+),
+base AS (
+  SELECT user_id, t, value AS x,
+         row_number() OVER (PARTITION BY user_id ORDER BY t) AS rn
+  FROM pts
+),
+ew AS (
+  SELECT user_id, rn, x, x AS y, 0.0::DOUBLE AS v FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.rn, b.x,
+         (1.0/3.0) * b.x + (1 - 1.0/3.0) * ew.y,
+         (1 - 1.0/3.0) * ew.v
+           + (1 - 1.0/3.0) * (1.0/3.0) * (b.x - ew.y) * (b.x - ew.y)
+  FROM base b JOIN ew ON b.user_id = ew.user_id AND b.rn = ew.rn + 1
+),
+ew2 AS (
+  SELECT b.user_id, b.t, b.x, e.y, sqrt(e.v) AS sd,
+         lag(e.y) OVER w AS py, lag(sqrt(e.v)) OVER w AS psd
+  FROM ew e JOIN base b ON e.user_id = b.user_id AND e.rn = b.rn
+  WINDOW w AS (PARTITION BY b.user_id ORDER BY b.rn)
+),
+holt AS (
+  -- (1 - 1.0/3.0), not 0.6667: the Spark side computes 1-alpha
+  SELECT user_id, rn, x, x AS level, 0.0::DOUBLE AS trend FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.rn, b.x,
+         (1.0/3.0) * b.x + (1 - 1.0/3.0) * (h.level + h.trend),
+         (1.0/7.0) * (((1.0/3.0) * b.x + (1 - 1.0/3.0) * (h.level + h.trend))
+                      - h.level)
+           + (1 - 1.0/7.0) * h.trend
+  FROM base b JOIN holt h ON b.user_id = h.user_id AND b.rn = h.rn + 1
+),
+holt2 AS (
+  SELECT b.user_id, b.t, b.x, h.level, h.trend,
+         lag(h.level + h.trend) OVER w2 AS yhat
+  FROM holt h JOIN base b ON h.user_id = b.user_id AND h.rn = b.rn
+  WINDOW w2 AS (PARTITION BY b.user_id ORDER BY b.rn)
+)
+SELECT * FROM (
+  SELECT 'ewm' AS op, user_id::VARCHAR AS key, round(t, 6) AS t, x AS value,
+         floor(y * 10000 + 0.5) / 10000 AS x1,
+         floor(sd * 10000 + 0.5) / 10000 AS x2,
+         floor((CASE WHEN psd IS NOT NULL AND psd >= 1e-12
+                     THEN (x - py) / psd END) * 10000 + 0.5) / 10000 AS x3
+  FROM ew2
+  UNION ALL
+  SELECT 'holt', user_id::VARCHAR, round(t, 6), x,
+         floor(level * 10000 + 0.5) / 10000,
+         floor(trend * 10000 + 0.5) / 10000,
+         floor(yhat * 10000 + 0.5) / 10000
+  FROM holt2
+)
+ORDER BY op, key, t
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry consolidations (r5): merged union queries with discriminator
 # columns so the 50-slot driver artifact gains room for the round-4
@@ -3182,4 +3508,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q_hygiene": (q_hygiene, SQL_HYGIENE),
     "q_sample_splits": (q_sample_splits, SQL_SAMPLE_SPLITS),
     "q_drift_classes": (q_drift_classes, SQL_DRIFT_CLASSES),
+    "q_analytics_tier": (q_analytics_tier, SQL_ANALYTICS_TIER),
+    "q_smooth": (q_smooth, SQL_SMOOTH),
 }
