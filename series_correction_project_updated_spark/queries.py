@@ -1147,6 +1147,51 @@ FROM f GROUP BY source ORDER BY source
 """
 
 
+def q_text_metrics(spark, sf_dir):
+    """q_token_count + q_text_quality as ONE driver entry (r5 slot
+    consolidation — same tables, same values, shared (q, k, v1..v7)
+    schema; counts cast to double, exact below 2^53)."""
+    a = q_token_count(spark, sf_dir).select(
+        F.lit("tokens").alias("q"),
+        F.col("lang").alias("k"),
+        F.col("n_docs").cast("double").alias("v1"),
+        F.col("total_tokens").cast("double").alias("v2"),
+        F.col("avg_tokens").alias("v3"),
+        F.col("total_bpe_tokens").cast("double").alias("v4"),
+        F.col("avg_bpe_tokens").alias("v5"),
+        F.lit(None).cast("double").alias("v6"),
+        F.lit(None).cast("double").alias("v7"),
+    )
+    b = q_text_quality(spark, sf_dir).select(
+        F.lit("quality").alias("q"),
+        F.col("source").alias("k"),
+        F.col("n_docs").cast("double").alias("v1"),
+        F.col("avg_chars").alias("v2"),
+        F.col("avg_token_len").alias("v3"),
+        F.col("long_ratio").alias("v4"),
+        F.col("punct_ratio").alias("v5"),
+        F.col("upper_ratio").alias("v6"),
+        F.col("stopword_ratio").alias("v7"),
+    )
+    return a.unionByName(b).orderBy("q", "k")
+
+
+SQL_TEXT_METRICS = f"""
+WITH tok AS ({SQL_TOKEN_COUNT.replace("ORDER BY lang", "")}),
+qual AS ({SQL_TEXT_QUALITY.replace("ORDER BY source", "")})
+SELECT 'tokens' AS q, lang AS k, CAST(n_docs AS DOUBLE) AS v1,
+       CAST(total_tokens AS DOUBLE) AS v2, avg_tokens AS v3,
+       CAST(total_bpe_tokens AS DOUBLE) AS v4, avg_bpe_tokens AS v5,
+       NULL::DOUBLE AS v6, NULL::DOUBLE AS v7
+FROM tok
+UNION ALL
+SELECT 'quality', source, CAST(n_docs AS DOUBLE), avg_chars, avg_token_len,
+       long_ratio, punct_ratio, upper_ratio, stopword_ratio
+FROM qual
+ORDER BY q, k
+"""
+
+
 def q_word_overlap_pairs(spark, sf_dir):
     """3-gram shingle Jaccard near-dup candidates via shingle explode +
     self-join — the exact-verify counterpart to MinHash banding (dedup op,
@@ -3193,6 +3238,270 @@ ORDER BY op, key, t
 """
 
 
+def q_stream_tiers(spark, sf_dir):
+    """STREAMING tier union entry (r4 verdict ask #3): four keyed
+    stateful streaming operators (applyInPandasWithState) driven
+    end-to-end under the driver's oracle, extending the
+    q_stream_rollup_1m foreachBatch-materialize pattern.
+
+    The events table is staged as ONE (key, t)-sorted parquet file and
+    consumed with trigger(availableNow) — a single ordered micro-batch,
+    so every bucket except each key's LAST (still open in state, by
+    design: no timeout fired, the stream ended) is emitted:
+
+    * op='stats'   — stats_stream 1m moment sums; oracle = batch moment
+      math EXCLUDING each key's max bucket (the closed-bucket law the
+      stream tests pin).
+    * op='counter' — counter_stream 1m (PromQL reset semantics,
+      boundary-charged increase); same closed-bucket oracle via the
+      independent lag-window form.
+    * op='hist'    — histogram_stream 1m, lo=0 hi=100 nbins=8 (overflow
+      slot exercised; width 12.5 exact); all 10 slots per closed bucket
+      including zero counts.
+    * op='state'   — state_rollup_stream 1h over event_type (1m would
+      explode each multi-bucket segment into ~50 pieces × 10k events =
+      6.3M rows — too heavy for a driver artifact); pieces summed per
+      (key, bucket, state) equal the FULL batch tier (every segment is
+      closed by the next observation — no exclusion).
+    """
+    import tempfile
+    import uuid
+
+    from .streaming.counter_stream import counter_stream
+    from .streaming.histogram_stream import histogram_stream
+    from .streaming.stateagg_stream import state_rollup_stream
+    from .streaming.stats_stream import stats_stream
+
+    stage = tempfile.mkdtemp(prefix="stream_tiers_src_")
+    load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("series_key"),
+        (F.unix_millis(F.col("ts").cast("timestamp")) / 1000.0).alias("t"),
+        "value",
+        "event_type",
+    ).orderBy("series_key", "t").coalesce(1).write.mode("overwrite").parquet(stage)
+    schema = "series_key string, t double, value double, event_type string"
+
+    def _run(make):
+        stream = spark.readStream.schema(schema).parquet(stage)
+        name = "stream_tiers_" + uuid.uuid4().hex
+        q = (
+            make(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name)
+
+    nulls = lambda i0: [F.lit(None).cast("double").alias(f"x{i}") for i in range(i0, 7)]  # noqa: E731
+
+    stats = _run(lambda s: stats_stream(s, "1m")).select(
+        F.lit("stats").alias("op"), F.col("series_key").alias("key"),
+        F.col("bucket_start").alias("bucket"), F.lit("").alias("s"),
+        F.col("n").cast("double").alias("x1"),
+        F.round("sx", 4).alias("x2"), F.round("sy", 4).alias("x3"),
+        F.round("sxx", 4).alias("x4"), F.round("syy", 4).alias("x5"),
+        F.round("sxy", 4).alias("x6"),
+    )
+    counter = _run(lambda s: counter_stream(s, "1m")).select(
+        F.lit("counter").alias("op"), F.col("series_key").alias("key"),
+        F.col("bucket_start").alias("bucket"), F.lit("").alias("s"),
+        F.col("n").cast("double").alias("x1"),
+        F.round("bucket_increase", 6).alias("x2"),
+        (F.col("resets") + F.col("boundary_reset")).cast("double").alias("x3"),
+        F.round("rate", 9).alias("x4"),
+        *nulls(5),
+    )
+    hist = (
+        _run(lambda s: histogram_stream(s, "1m", lo=0.0, hi=100.0, nbins=8))
+        .select("series_key", "bucket_start", "n", F.posexplode("counts").alias("slot", "cnt"))
+        .select(
+            F.lit("hist").alias("op"), F.col("series_key").alias("key"),
+            F.col("bucket_start").alias("bucket"), F.lit("").alias("s"),
+            F.col("slot").cast("double").alias("x1"),
+            F.col("cnt").cast("double").alias("x2"),
+            F.col("n").cast("double").alias("x3"),
+            *nulls(4),
+        )
+    )
+    state = (
+        _run(lambda s: state_rollup_stream(s, "1h", state_col="event_type"))
+        .groupBy("series_key", "bucket_start", "state")
+        .agg(F.round(F.sum("duration_sec"), 6).alias("duration_sec"))
+        .select(
+            F.lit("state").alias("op"), F.col("series_key").alias("key"),
+            F.col("bucket_start").alias("bucket"), F.col("state").alias("s"),
+            F.col("duration_sec").alias("x1"),
+            *nulls(2),
+        )
+    )
+    out = stats
+    for p in (counter, hist, state):
+        out = out.unionByName(p)
+    return out.orderBy("op", "key", "bucket", "s", "x1")
+
+
+SQL_STREAM_TIERS = r"""
+WITH pts AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, epoch_ms(ts)/1000.0 AS t, value, event_type
+  FROM events
+),
+stats_m AS (
+  SELECT key, CAST(floor(t/60)*60 AS BIGINT) AS bucket,
+         count(*) AS n,
+         round(sum(t - CAST(floor(t/60)*60 AS BIGINT)), 4) AS sx,
+         round(sum(value), 4) AS sy,
+         round(sum((t - CAST(floor(t/60)*60 AS BIGINT))
+                 * (t - CAST(floor(t/60)*60 AS BIGINT))), 4) AS sxx,
+         round(sum(value * value), 4) AS syy,
+         round(sum((t - CAST(floor(t/60)*60 AS BIGINT)) * value), 4) AS sxy
+  FROM pts WHERE value IS NOT NULL
+  GROUP BY 1, 2
+  QUALIFY bucket < max(bucket) OVER (PARTITION BY key)
+),
+cd AS (
+  SELECT key, t, value,
+         lag(value) OVER (PARTITION BY key ORDER BY t) AS pv
+  FROM pts WHERE value IS NOT NULL
+),
+counter_m AS (
+  SELECT key, CAST(floor(t/60)*60 AS BIGINT) AS bucket,
+         count(*) AS n,
+         round(sum(CASE WHEN pv IS NULL THEN 0.0
+                        WHEN value >= pv THEN value - pv
+                        ELSE value END), 6) AS inc,
+         sum(CASE WHEN pv IS NOT NULL AND value < pv THEN 1 ELSE 0 END) AS res,
+         round(sum(CASE WHEN pv IS NULL THEN 0.0
+                        WHEN value >= pv THEN value - pv
+                        ELSE value END) / 60.0, 9) AS rate
+  FROM cd GROUP BY 1, 2
+  QUALIFY bucket < max(bucket) OVER (PARTITION BY key)
+),
+hs AS (
+  SELECT key, CAST(floor(t/60)*60 AS BIGINT) AS bucket,
+         CASE WHEN value < 0.0 THEN 0
+              WHEN value >= 100.0 THEN 9
+              ELSE CAST(floor(value / 12.5) + 1 AS INT) END AS slot
+  FROM pts WHERE value IS NOT NULL
+),
+hbuckets AS (
+  SELECT key, bucket, count(*) AS n FROM hs GROUP BY 1, 2
+  QUALIFY bucket < max(bucket) OVER (PARTITION BY key)
+),
+hcounts AS (
+  SELECT key, bucket, slot, count(*) AS cnt FROM hs GROUP BY 1, 2, 3
+),
+hist_m AS (
+  SELECT b.key, b.bucket, s.slot, coalesce(c.cnt, 0) AS cnt, b.n
+  FROM hbuckets b
+  CROSS JOIN (SELECT unnest(range(0, 10)) AS slot) s
+  LEFT JOIN hcounts c ON c.key = b.key AND c.bucket = b.bucket AND c.slot = s.slot
+),
+sseg AS (
+  SELECT * FROM (
+    SELECT key, t AS t0, event_type AS state, lead(t) OVER w AS t1
+    FROM pts WHERE event_type IS NOT NULL
+    WINDOW w AS (PARTITION BY key ORDER BY t, event_type)
+  ) WHERE t1 IS NOT NULL AND t1 > t0
+),
+stp AS (
+  SELECT key, state, e AS bucket,
+         least(t1, CAST(e + 3600 AS DOUBLE)) - greatest(t0, CAST(e AS DOUBLE)) AS dur
+  FROM sseg,
+       unnest(generate_series(CAST(floor(t0/3600)*3600 AS BIGINT),
+                              CAST(floor(t1/3600)*3600 AS BIGINT), 3600)) AS g(e)
+),
+state_m AS (
+  SELECT key, bucket, state, round(sum(dur), 6) AS duration_sec
+  FROM stp WHERE dur > 0 GROUP BY key, bucket, state
+)
+SELECT * FROM (
+  SELECT 'stats' AS op, key, bucket, '' AS s,
+         CAST(n AS DOUBLE) AS x1, sx AS x2, sy AS x3, sxx AS x4, syy AS x5, sxy AS x6
+  FROM stats_m
+  UNION ALL
+  SELECT 'counter', key, bucket, '',
+         CAST(n AS DOUBLE), inc, CAST(res AS DOUBLE), rate, NULL, NULL
+  FROM counter_m
+  UNION ALL
+  SELECT 'hist', key, bucket, '',
+         CAST(slot AS DOUBLE), CAST(cnt AS DOUBLE), CAST(n AS DOUBLE), NULL, NULL, NULL
+  FROM hist_m
+  UNION ALL
+  SELECT 'state', key, bucket, state,
+         duration_sec, NULL, NULL, NULL, NULL, NULL
+  FROM state_m
+)
+ORDER BY op, key, bucket, s, x1
+"""
+
+
+def q_refresh_late(spark, sf_dir):
+    """Late-data invalidation refresh (operators/refresh, r4 verdict ask
+    #7): events are split deterministically into a base load and a
+    'late' batch (event_id%17==0); the standing 1h tier is built from
+    base only, then refresh_tier recomputes JUST the invalidated
+    (series, bucket) pairs from the merged point store and splices, and
+    refresh_cascade propagates the refresh into the 1d tier. The oracle
+    is the FULL re-rollup from all points at both tiers — the module's
+    whole contract is that invalidate-recompute-splice equals the full
+    recompute."""
+    from .operators.refresh import invalidated_buckets, refresh_cascade, refresh_tier
+    from .operators.rollup import cascade, rollup
+
+    pts = _event_points(spark, sf_dir).select(
+        F.col("user_id").cast("long").alias("series_key"), "t", "value"
+    )
+    ev_id = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("series_key"),
+        (F.unix_millis(F.col("ts").cast("timestamp")) / 1000.0).alias("t"),
+        "value",
+        "event_id",
+    )
+    late = ev_id.where(F.col("event_id") % 17 == 0).drop("event_id")
+    base = ev_id.where(F.col("event_id") % 17 != 0).drop("event_id")
+
+    old_1h = rollup(base, "1h")
+    ref_1h = refresh_tier(old_1h, pts, late, "1h")
+    inv = invalidated_buckets(late, "1h")
+    old_1d = cascade(old_1h, "1d")
+    ref_1d = refresh_cascade(ref_1h, old_1d, inv, "1d")
+
+    def proj(df, name):
+        return df.select(
+            F.lit(name).alias("tier"),
+            F.col("series_key").alias("user_id"),
+            "bucket_start",
+            "cnt",
+            F.round("vsum", 4).alias("vsum"),
+            "vmin", "vmax", "vfirst", "vlast",
+        )
+
+    return proj(ref_1h, "1h").unionByName(proj(ref_1d, "1d")).orderBy(
+        "tier", "user_id", "bucket_start"
+    )
+
+
+SQL_REFRESH_LATE = """
+WITH pts AS (SELECT user_id, epoch_ms(ts)/1000.0 AS t, value FROM events)
+SELECT * FROM (
+  SELECT '1h' AS tier, user_id, CAST(floor(t/3600)*3600 AS BIGINT) AS bucket_start,
+         count(value) AS cnt, round(sum(value), 4) AS vsum,
+         min(value) AS vmin, max(value) AS vmax,
+         arg_min(value, t) AS vfirst, arg_max(value, t) AS vlast
+  FROM pts GROUP BY user_id, bucket_start
+  UNION ALL
+  SELECT '1d', user_id, CAST(floor(t/86400)*86400 AS BIGINT),
+         count(value), round(sum(value), 4),
+         min(value), max(value), arg_min(value, t), arg_max(value, t)
+  FROM pts GROUP BY user_id, 3
+)
+ORDER BY tier, user_id, bucket_start
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry consolidations (r5): merged union queries with discriminator
 # columns so the 50-slot driver artifact gains room for the round-4
@@ -3479,8 +3788,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q_global_mad": (q_global_mad, SQL_GLOBAL_MAD),
     "q_yty_diff": (q_yty_diff, SQL_YTY_DIFF),
     "q_dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
-    "q_token_count": (q_token_count, SQL_TOKEN_COUNT),
-    "q_text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "q_text_metrics": (q_text_metrics, SQL_TEXT_METRICS),
     "q_word_overlap_pairs": (q_word_overlap_pairs, SQL_WORD_OVERLAP),
     "q_ann_methods": (q_ann_methods, SQL_ANN_METHODS),
     "q_rolling_stats": (q_rolling_stats, SQL_ROLLING),
@@ -3510,4 +3818,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q_drift_classes": (q_drift_classes, SQL_DRIFT_CLASSES),
     "q_analytics_tier": (q_analytics_tier, SQL_ANALYTICS_TIER),
     "q_smooth": (q_smooth, SQL_SMOOTH),
+    "q_stream_tiers": (q_stream_tiers, SQL_STREAM_TIERS),
+    "q_refresh_late": (q_refresh_late, SQL_REFRESH_LATE),
 }
