@@ -94,6 +94,17 @@ BENCH_QUERIES = [
     "q_stream_rollup_1m",
     "q_stats_tier",
     "q_histogram_tier",
+    # r5 additions: the newly driver-checked layers + LTTB (bench-only
+    # evidence, no registry slot). q_stream_tiers is excluded — its four
+    # availableNow stream runs would dominate the sweep; the streaming cost
+    # profile is represented by q_stream_rollup_1m.
+    "q_hygiene",
+    "q_sample_splits",
+    "q_drift_classes",
+    "q_analytics_tier",
+    "q_smooth",
+    "q_refresh_late",
+    "q_lttb",
 ]
 
 #: documented clean single-thread rate on this box (BENCH/BASELINE.md)

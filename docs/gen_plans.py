@@ -130,6 +130,40 @@ AUDIT = {
         # directly over the compressed store, r4)
         ("decode adds NO shuffle of its own (3 total: agg+repartition+sort)", "EXCHANGES_3"),
     ],
+    # --- r5: the newly driver-checked layers ---
+    "q_hygiene": [
+        ("NO Python in plan (url canon / decontam / repetition all JVM)", "NO_PYTHON"),
+        ("benchmark n-gram side broadcast into the doc-gram explode", r"BroadcastHashJoin"),
+        ("gram windows explode via Generate (pipelined, not materialized)", r"Generate"),
+    ],
+    "q_sample_splits": [
+        ("NO Python in plan (hash filters + window top-k)", "NO_PYTHON"),
+        ("bottom-k rides WindowGroupLimit (partial top-k below the exchange)", r"WindowGroupLimit"),
+        ("no join anywhere (samplers are filters/projections/windows)", r"(?s)^(?!.*(SortMergeJoin|BroadcastHashJoin|CartesianProduct))"),
+    ],
+    "q_drift_classes": [
+        ("signatures via ONE Arrow projection before the url shuffle", r"ArrowEvalPython|MapInPandas"),
+        ("lag window on url clustering (8-byte signatures travel, not text)", r"Window"),
+        ("no cartesian", r"(?s)^(?!.*CartesianProduct)"),
+    ],
+    "q_analytics_tier": [
+        ("NO Python in plan (all five ops native: explode/agg/window/fold)", "NO_PYTHON"),
+        ("segment split via Generate (timeweight/stateagg bucket edges)", r"Generate"),
+        ("map-side partial aggregation before exchanges", r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate"),
+    ],
+    "q_smooth": [
+        ("Arrow-batched smoothers (mapInPandas x2, one repartition each)", r"MapInPandas"),
+        ("no join anywhere", r"(?s)^(?!.*(SortMergeJoin|BroadcastHashJoin|CartesianProduct))"),
+    ],
+    "q_refresh_late": [
+        ("NO Python in plan (refresh is joins + aggregates)", "NO_PYTHON"),
+        ("invalidation set broadcast (semi/anti) — the store never shuffles on it", r"BroadcastHashJoin"),
+        ("no cartesian / nested loop", r"(?s)^(?!.*(BroadcastNestedLoopJoin|CartesianProduct))"),
+    ],
+    "q_lttb": [
+        ("Arrow-batched kernel (mapInPandas over whole partitions)", r"MapInPandas"),
+        ("one repartition + final sort only", "EXCHANGES_2"),
+    ],
 }
 
 PYTHON_NODES = r"MapInPandas|ArrowEvalPython|BatchEvalPython|PythonMapInArrow|FlatMapGroupsInPandas"
