@@ -2254,18 +2254,21 @@ def q_gapfill_linear(spark, sf_dir):
     pts = _event_points(spark, sf_dir).select(
         F.col("user_id").cast("string").alias("series_key"), "t", "value"
     )
-    out = correct_series(pts, config={"steps": ("gaps",)})
+    # partitioner="range": gap-fill multiplies this input ~36× (100k events
+    # → 3.6M points at sf0.1), so global output order must NOT come from an
+    # orderBy over the kernel result — that means range-sampling AND
+    # shuffling the expanded data (the r4 shape paid a localCheckpoint
+    # materialization plus a 3.6M-row sort ≈ 5s of its 9.3s floor). Range-
+    # clustering the SMALL input instead makes kernel partitions ordered by
+    # key, and the shuffle-free per-partition sort below yields the same
+    # global (series_key, t) order.
+    out = correct_series(pts, config={"steps": ("gaps",)}, partitioner="range")
     quantized = out.select(
         "series_key",
         (F.floor(F.col("t") * 1000 + F.lit(0.5)) / 1000).alias("t"),
         (F.floor(F.col("value") * 1000000 + F.lit(0.5)) / 1000000).alias("value"),
     )
-    # materialize before the global sort: orderBy's RangePartitioner runs a
-    # SAMPLING pass over its child, which would re-execute the whole Arrow
-    # kernel a second time (measured +47% on this query at sf0.1). The
-    # checkpointed output is 3 narrow columns — cheap to hold, and both the
-    # sample and the sort read it instead of the kernel.
-    return quantized.localCheckpoint().orderBy("series_key", "t")
+    return quantized.sortWithinPartitions("series_key", "t")
 
 
 SQL_GAPFILL = """
