@@ -164,6 +164,12 @@ AUDIT = {
         ("Arrow-batched kernel (mapInPandas over whole partitions)", r"MapInPandas"),
         ("one repartition + final sort only", "EXCHANGES_2"),
     ],
+    "q_gapfill_linear": [
+        ("Arrow-batched kernel (mapInPandas over whole partitions)", r"MapInPandas"),
+        ("range exchange on the SMALL pre-expansion input", r"rangepartitioning\(series_key"),
+        ("global order via partition-local sort — global=false, no post-kernel shuffle of the 36×-expanded output", r"Arguments: \[series_key[^\n]*t#\d+ ASC NULLS FIRST\], false"),
+        ("exactly one exchange total", "EXCHANGES_1"),
+    ],
 }
 
 PYTHON_NODES = r"MapInPandas|ArrowEvalPython|BatchEvalPython|PythonMapInArrow|FlatMapGroupsInPandas"
