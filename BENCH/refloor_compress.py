@@ -28,7 +28,7 @@ from series_correction_project_updated_spark.operators.compress import (  # noqa
 )
 from series_correction_project_updated_spark.operators.correct import correct_series  # noqa: E402
 from series_correction_project_updated_spark.operators.rollup import rollup_all_tiers  # noqa: E402
-from series_correction_project_updated_spark.queries import REGISTRY  # noqa: E402
+from series_correction_project_updated_spark.queries import resolve_query  # noqa: E402
 from series_correction_project_updated_spark.session import get_spark  # noqa: E402
 
 
@@ -59,7 +59,7 @@ def main() -> None:
     tier_1m.count()
     # JIT-warm both timed shapes once
     compress_rollup(tier_1m.limit(5000), "1m").count()
-    q01_fn, _ = REGISTRY["q01_pricing_summary"]
+    q01_fn = resolve_query("q01_pricing_summary")
 
     out: dict = {"reps": {}, "min": {}, "probes": {}}
 
@@ -92,7 +92,7 @@ def main() -> None:
     comp = _compress.last
 
     timed("pipeline_decompress", lambda: decompress_to_points(comp).count())
-    timed("q_compress_roundtrip", lambda: bench._drain(REGISTRY["q_compress_roundtrip"][0](spark, sf_dir)))
+    timed("q_compress_roundtrip", lambda: bench._drain(resolve_query("q_compress_roundtrip")(spark, sf_dir)))
     timed("q01_control", lambda: bench._drain(q01_fn(spark, sf_dir)))
 
     out["clean"] = all(

@@ -32,7 +32,7 @@ from series_correction_project_updated_spark.operators.correct import (  # noqa:
     correct_series,
 )
 from series_correction_project_updated_spark.operators.rollup import rollup_all_tiers  # noqa: E402
-from series_correction_project_updated_spark.queries import REGISTRY  # noqa: E402
+from series_correction_project_updated_spark.queries import resolve_query  # noqa: E402
 from series_correction_project_updated_spark.session import get_spark  # noqa: E402
 
 
@@ -81,11 +81,11 @@ def main() -> None:
     timed("pipeline_fused_lineage_1m", lambda: correct_rollup_lineage(pts, "1m").count())
     timed(
         "q_correct_series",
-        lambda: bench._drain(REGISTRY["q_correct_series"][0](spark, sf_dir)),
+        lambda: bench._drain(resolve_query("q_correct_series")(spark, sf_dir)),
     )
     timed(
         "q01_pricing_summary",
-        lambda: bench._drain(REGISTRY["q01_pricing_summary"][0](spark, sf_dir)),
+        lambda: bench._drain(resolve_query("q01_pricing_summary")(spark, sf_dir)),
     )
 
     out["min_probe_ips"] = bench.MIN_PROBE_IPS

@@ -53,8 +53,7 @@ from series_correction_project_updated_spark.operators.correct import (  # noqa:
     correct_series,
 )
 from series_correction_project_updated_spark.operators.rollup import rollup_all_tiers  # noqa: E402
-from series_correction_project_updated_spark import queries as _queries_mod  # noqa: E402
-from series_correction_project_updated_spark.queries import REGISTRY  # noqa: E402
+from series_correction_project_updated_spark.queries import resolve_query  # noqa: E402
 from series_correction_project_updated_spark.session import get_spark  # noqa: E402
 
 # r4: tracks the consolidated registry — q_rollup_1m→q_rollup_tiers,
@@ -261,8 +260,8 @@ def _run_sweep(spark, sf_dir) -> dict[str, float]:
         # r5: several registry entries were consolidated into union queries
         # (q01+q14→q_pricing_promo etc.); the STANDALONE functions remain
         # defined, and benching them keeps per-query floor continuity across
-        # rounds, so resolve registry first, module attribute second.
-        fn = REGISTRY[name][0] if name in REGISTRY else getattr(_queries_mod, name)
+        # rounds — resolve_query handles registry-or-module lookup.
+        fn = resolve_query(name)
         t0 = time.perf_counter()
         _drain(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)

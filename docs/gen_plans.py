@@ -15,8 +15,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import series_correction_project_updated_spark.queries as queries_mod  # noqa: E402
-from series_correction_project_updated_spark.queries import REGISTRY  # noqa: E402
+from series_correction_project_updated_spark.queries import resolve_query  # noqa: E402
 from series_correction_project_updated_spark.session import get_spark  # noqa: E402
 
 SF = "/root/testdata/sf0.01"
@@ -434,9 +433,7 @@ def main() -> None:
         (
             n,
             (
-                lambda s, fn=(
-                    REGISTRY[n][0] if n in REGISTRY else getattr(queries_mod, n)
-                ): fn(s, SF)
+                lambda s, fn=resolve_query(n): fn(s, SF)
             ),
             c,
         )

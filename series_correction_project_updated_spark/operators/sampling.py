@@ -61,13 +61,15 @@ def _raw_hash(id_cols: list[str], salt: int, portable: bool = False):
     hash over ``concat_ws('|', id_cols, salt)`` — slower, but every value
     is reproducible in ANSI SQL (DuckDB: ``('0x' || substr(md5(k), 1,
     15))::BIGINT``), which is what lets the driver's oracle hash-check the
-    samplers end to end (q_sample_splits). Same trick as
-    ``dedup.portable_hash60``."""
+    samplers end to end (q_sample_splits). The primitive is
+    ``dedup.portable_hash60`` — called, not re-implemented, so the shared
+    hash law has exactly one definition."""
     if portable:
-        key = F.concat_ws(
-            "|", *[F.col(c).cast("string") for c in id_cols], F.lit(str(int(salt)))
+        from .dedup import portable_hash60
+
+        return portable_hash60(
+            F.concat_ws("|", *[F.col(c).cast("string") for c in id_cols], F.lit(str(int(salt))))
         )
-        return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
     return F.xxhash64(*[F.col(c) for c in id_cols], F.lit(int(salt)))
 
 

@@ -522,7 +522,11 @@ def process_series_with_stats(
     detail="skipped") so the lineage schema is stable.
     """
     cfg = {**DEFAULT_CONFIG, **(config or {})}
-    steps = frozenset(cfg.get("steps") or ("gaps", "outliers", "jumps"))
+    # `is None`, not falsy: steps=() is a legitimate explicit no-op pipeline
+    # (all stages skipped, input passed through with stable stats rows) —
+    # `or` would silently re-enable all three stages on an empty collection
+    raw_steps = cfg.get("steps")
+    steps = frozenset(("gaps", "outliers", "jumps") if raw_steps is None else raw_steps)
     unknown = steps - {"gaps", "outliers", "jumps"}
     if unknown:
         raise ValueError(f"unknown steps: {sorted(unknown)}")

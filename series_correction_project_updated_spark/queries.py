@@ -28,6 +28,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _null_cols(lo: int, hi: int) -> list:
+    """Typed-null padding columns x{lo}..x{hi-1} for the union driver
+    entries (every arm of a union query shares one (…, x1..xN) schema;
+    arms that use fewer value slots pad the rest with double nulls)."""
+    return [F.lit(None).cast("double").alias(f"x{i}") for i in range(lo, hi)]
+
+
+def _union_all(parts: list) -> DataFrame:
+    """unionByName fold over a non-empty list of same-schema frames."""
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _event_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → (user_id, t seconds double, value) — the series stand-in."""
     return load(spark, sf_dir, "events").select(
@@ -595,10 +610,7 @@ def q_rollup_tiers(spark, sf_dir):
         _rollup_spark(spark, sf_dir, sec).withColumn("tier", F.lit(name))
         for sec, name in _TIERS
     ]
-    out = dfs[0]
-    for d in dfs[1:]:
-        out = out.unionByName(d)
-    return out.select(
+    return _union_all(dfs).select(
         "tier", "user_id", "bucket_start", "cnt", "vsum", "vmin", "vmax", "vfirst", "vlast"
     )
 
@@ -650,8 +662,8 @@ def q_stream_rollup_1m(spark, sf_dir):
     the batch tier exactly — the oracle is the plain DuckDB 1m rollup
     with the FULL aggregate set (cnt/sum/min/max/first/last — min_by and
     max_by stream too, r4)."""
+    import shutil
     import tempfile
-    import uuid
 
     from .streaming.rollup_stream import streaming_rollup
 
@@ -674,7 +686,9 @@ def q_stream_rollup_1m(spark, sf_dir):
         "value",
     )
     roll = streaming_rollup(pts, "1m", key_col="user_id", ts_col="ev_ts", value_col="value")
-    name = "stream_rollup_" + uuid.uuid4().hex
+    # fixed sink name, same rationale as q_stream_tiers: one re-registered
+    # memory table per session instead of one per invocation
+    name = "stream_rollup_1m_sink"
     q = (
         roll.writeStream.outputMode("complete")
         .format("memory")
@@ -683,6 +697,9 @@ def q_stream_rollup_1m(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
+    # the drained stream's results live in the memory sink; the staged
+    # parquet copy is no longer referenced
+    shutil.rmtree(stage, ignore_errors=True)
     return (
         spark.table(name)
         .select(
@@ -2472,7 +2489,7 @@ def q_hygiene(spark, sf_dir):
     from .operators.urls import canonicalize_url
 
     docs = load(spark, sf_dir, "documents")
-    nulls = lambda i0: [F.lit(None).cast("double").alias(f"x{i}") for i in range(i0, 7)]  # noqa: E731
+    nulls = lambda i0: _null_cols(i0, 7)  # noqa: E731
 
     c = F.col("doc_id") % 8
     did = F.col("doc_id").cast("string")
@@ -2721,10 +2738,7 @@ def q_sample_splits(spark, sf_dir):
             F.lit("weighted").alias("op"), F.col("source").alias("k"), F.col("doc_id").alias("id")
         )
     )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.orderBy("op", "k", "id")
+    return _union_all(parts).orderBy("op", "k", "id")
 
 
 SQL_SAMPLE_SPLITS = r"""
@@ -2818,7 +2832,7 @@ def q_drift_classes(spark, sf_dir):
         )
     )
     d = content_drift(pages, time_col="t", hamming_threshold=8, portable=True)
-    nulls = lambda i0: [F.lit(None).cast("double").alias(f"x{i}") for i in range(i0, 8)]  # noqa: E731
+    nulls = lambda i0: _null_cols(i0, 8)  # noqa: E731
     crawls = d.select(
         F.lit("crawl").alias("part"),
         "url",
@@ -2956,7 +2970,7 @@ def q_analytics_tier(spark, sf_dir):
         F.col("user_id").alias("series_key"), "t", "value"
     )
     key = F.col("series_key").cast("string").alias("key")
-    nulls = lambda i0: [F.lit(None).cast("double").alias(f"x{i}") for i in range(i0, 5)]  # noqa: E731
+    nulls = lambda i0: _null_cols(i0, 5)  # noqa: E731
     nobucket = F.lit(None).cast("long").alias("bucket")
 
     tw = time_weighted_rollup(pts, "1h").select(
@@ -3015,10 +3029,7 @@ def q_analytics_tier(spark, sf_dir):
             *nulls(4),
         )
     )
-    out = tw
-    for p in (st, ss, fr, tk):
-        out = out.unionByName(p)
-    return out.orderBy("op", "key", "bucket", "s", "x1")
+    return _union_all([tw, st, ss, fr, tk]).orderBy("op", "key", "bucket", "s", "x1")
 
 
 SQL_ANALYTICS_TIER = r"""
@@ -3166,8 +3177,14 @@ def q_smooth(spark, sf_dir):
     SCALAR recurrences with DuckDB recursive CTEs."""
     from .operators.smooth import ewma_smooth, holt_smooth
 
-    pts = _event_points(spark, sf_dir).select(
-        F.col("user_id").alias("series_key"), "t", "value"
+    # explicit null filter matching the oracle's WHERE value IS NOT NULL:
+    # the smoothers skip nulls in their state, the recursive-CTE oracle
+    # would poison every subsequent row — keep both sides on the same
+    # (null-free) input so the entry stays robust to future fixtures
+    pts = (
+        _event_points(spark, sf_dir)
+        .where(F.col("value").isNotNull())
+        .select(F.col("user_id").alias("series_key"), "t", "value")
     )
     key = F.col("series_key").cast("string").alias("key")
     # floor-quantize, not round(): with exactly-representable α/β the
@@ -3192,7 +3209,12 @@ def q_smooth(spark, sf_dir):
 
 SQL_SMOOTH = r"""
 WITH RECURSIVE pts AS (
+  -- value IS NOT NULL mirrors the Spark side's explicit filter: the
+  -- operators treat nulls as invisible to the smoother state, while a
+  -- recursive CTE would propagate a*NULL+(1-a)*y = NULL to every later
+  -- row of the series — the two null laws only agree on null-free input
   SELECT user_id, epoch_ms(ts)/1000.0 AS t, value FROM events
+  WHERE value IS NOT NULL
 ),
 base AS (
   SELECT user_id, t, value AS x,
@@ -3275,8 +3297,8 @@ def q_stream_tiers(spark, sf_dir):
       (key, bucket, state) equal the FULL batch tier (every segment is
       closed by the next observation — no exclusion).
     """
+    import shutil
     import tempfile
-    import uuid
 
     from .streaming.counter_stream import counter_stream
     from .streaming.histogram_stream import histogram_stream
@@ -3292,9 +3314,14 @@ def q_stream_tiers(spark, sf_dir):
     ).orderBy("series_key", "t").coalesce(1).write.mode("overwrite").parquet(stage)
     schema = "series_key string, t double, value double, event_type string"
 
-    def _run(make):
+    def _run(op, make):
+        # FIXED query name per op (not a uuid): the memory sink registers a
+        # temp view under the query name, and a fresh uuid per invocation
+        # would accumulate one driver-memory table per run in a long-lived
+        # session (pytest gate + driver check + sweeps). A restarted query
+        # re-registers the same view, bounding the session to 4 sink tables.
         stream = spark.readStream.schema(schema).parquet(stage)
-        name = "stream_tiers_" + uuid.uuid4().hex
+        name = f"stream_tiers_{op}"
         q = (
             make(stream)
             .writeStream.format("memory")
@@ -3306,9 +3333,9 @@ def q_stream_tiers(spark, sf_dir):
         q.awaitTermination()
         return spark.table(name)
 
-    nulls = lambda i0: [F.lit(None).cast("double").alias(f"x{i}") for i in range(i0, 7)]  # noqa: E731
+    nulls = lambda i0: _null_cols(i0, 7)  # noqa: E731
 
-    stats = _run(lambda s: stats_stream(s, "1m")).select(
+    stats = _run("stats", lambda s: stats_stream(s, "1m")).select(
         F.lit("stats").alias("op"), F.col("series_key").alias("key"),
         F.col("bucket_start").alias("bucket"), F.lit("").alias("s"),
         F.col("n").cast("double").alias("x1"),
@@ -3316,7 +3343,7 @@ def q_stream_tiers(spark, sf_dir):
         F.round("sxx", 4).alias("x4"), F.round("syy", 4).alias("x5"),
         F.round("sxy", 4).alias("x6"),
     )
-    counter = _run(lambda s: counter_stream(s, "1m")).select(
+    counter = _run("counter", lambda s: counter_stream(s, "1m")).select(
         F.lit("counter").alias("op"), F.col("series_key").alias("key"),
         F.col("bucket_start").alias("bucket"), F.lit("").alias("s"),
         F.col("n").cast("double").alias("x1"),
@@ -3326,7 +3353,7 @@ def q_stream_tiers(spark, sf_dir):
         *nulls(5),
     )
     hist = (
-        _run(lambda s: histogram_stream(s, "1m", lo=0.0, hi=100.0, nbins=8))
+        _run("hist", lambda s: histogram_stream(s, "1m", lo=0.0, hi=100.0, nbins=8))
         .select("series_key", "bucket_start", "n", F.posexplode("counts").alias("slot", "cnt"))
         .select(
             F.lit("hist").alias("op"), F.col("series_key").alias("key"),
@@ -3338,7 +3365,7 @@ def q_stream_tiers(spark, sf_dir):
         )
     )
     state = (
-        _run(lambda s: state_rollup_stream(s, "1h", state_col="event_type"))
+        _run("state", lambda s: state_rollup_stream(s, "1h", state_col="event_type"))
         .groupBy("series_key", "bucket_start", "state")
         .agg(F.round(F.sum("duration_sec"), 6).alias("duration_sec"))
         .select(
@@ -3348,10 +3375,11 @@ def q_stream_tiers(spark, sf_dir):
             *nulls(2),
         )
     )
-    out = stats
-    for p in (counter, hist, state):
-        out = out.unionByName(p)
-    return out.orderBy("op", "key", "bucket", "s", "x1")
+    # all four availableNow streams have terminated and the memory sinks
+    # hold the results in driver memory — the staged parquet copy of the
+    # events table is no longer referenced by anything downstream
+    shutil.rmtree(stage, ignore_errors=True)
+    return _union_all([stats, counter, hist, state]).orderBy("op", "key", "bucket", "s", "x1")
 
 
 SQL_STREAM_TIERS = r"""
@@ -3847,3 +3875,21 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q_stream_tiers": (q_stream_tiers, SQL_STREAM_TIERS),
     "q_refresh_late": (q_refresh_late, SQL_REFRESH_LATE),
 }
+
+
+def resolve_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    """Registry-or-module lookup for query callables.
+
+    Registry consolidations (q01_pricing_summary + q14_promo_revenue →
+    q_pricing_promo, …) retire REGISTRY keys while the standalone functions
+    stay defined for per-query floor continuity in bench harnesses. Every
+    harness that times queries by name must resolve through this single
+    helper so a future consolidation is a one-place change (the r5 reshuffle
+    silently broke two BENCH/refloor_* scripts that indexed REGISTRY
+    directly)."""
+    if name in REGISTRY:
+        return REGISTRY[name][0]
+    fn = globals().get(name)
+    if fn is None or not callable(fn):
+        raise KeyError(f"no query named {name!r} in REGISTRY or module scope")
+    return fn

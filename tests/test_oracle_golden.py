@@ -224,6 +224,14 @@ def test_steps_knob_skips_stages():
     b = oracle.process_series(df, "t", "value", {"steps": ("gaps", "outliers", "jumps")})
     assert np.array_equal(a["value"].to_numpy(), b["value"].to_numpy(), equal_nan=True)
 
+    # steps=() is an explicit no-op pipeline, NOT "unset": the input passes
+    # through untouched (same rows, same values, no gap insertion) and all
+    # three stats rows read skipped/0
+    noop, noop_stats = oracle.process_series_with_stats(df, "t", "value", {"steps": ()})
+    assert np.array_equal(noop["t"].to_numpy(), df["t"].to_numpy())
+    assert np.array_equal(noop["value"].to_numpy(), df["value"].to_numpy())
+    assert all(s[4] == "skipped" and s[1] == 0 for s in noop_stats)
+
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="unknown steps"):
