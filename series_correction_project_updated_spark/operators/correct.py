@@ -69,26 +69,66 @@ def correct_series(
        Arrow sequence and the kernel does a plain ``pandas.groupby`` inside
        (hash partitioning guarantees no series straddles partitions).
 
-    Default partition count: 4× parallelism — small enough tasks to smooth
-    group-size skew, large enough to amortize Python worker startup.
+    Default partition count: 2× parallelism — small enough tasks to smooth
+    group-size skew, large enough to amortize per-task Arrow/Python setup
+    (r6: measured 64 vs 128 partitions at sf0.1/local[32]: 3.1s vs 4.8s —
+    per-task fixed cost dominates shuffle-size effects at this input size;
+    extreme per-series skew is ``correct_series_chunked``'s job either way).
     """
     cfg = {**oracle.DEFAULT_CONFIG, **(config or {})}
     if num_partitions is None:
-        num_partitions = points.sparkSession.sparkContext.defaultParallelism * 4
+        num_partitions = points.sparkSession.sparkContext.defaultParallelism * 2
 
     def _process_partition(batches):
+        # r6 shape: one factorize + stable argsort clusters the partition by
+        # key (same group order and intra-group row order as the former
+        # pandas ``groupby(sort=False)``), each series runs through the
+        # array-native ``process_tv`` (no per-series frame construction),
+        # and output is yielded in ~256k-row batches (large Arrow batches
+        # instead of one per series, memory still bounded per partition).
+        # Gap-inserted rows carry NaN values; the key column is rebuilt by
+        # ``np.repeat`` (the oracle mirrors the reference's all-NaN gap
+        # rows, scripts/discontinuity_utils.py:137-140).
         chunks = list(batches)
         if not chunks:
             return
         pdf = pd.concat(chunks, ignore_index=True)
-        for key, grp in pdf.groupby(key_col, sort=False):
-            frame = grp[[time_col, value_col]].rename(columns={time_col: "t", value_col: "value"})
-            out = oracle.process_series(frame, "t", "value", cfg)
-            # gap-inserted rows carry NaN in every non-time column incl. the
-            # key — restore it (the oracle mirrors the reference's all-NaN gap
-            # rows, scripts/discontinuity_utils.py:137-140).
-            out.insert(0, "series_key", key)
-            yield out[["series_key", "t", "value"]]
+        keys = pdf[key_col].to_numpy()
+        t = pdf[time_col].to_numpy(dtype=np.float64)
+        v = pdf[value_col].to_numpy(dtype=np.float64)
+        del pdf, chunks
+        codes, uniques = pd.factorize(keys)  # -1 for null keys (groupby drops them)
+        order = np.argsort(codes, kind="stable")
+        order = order[int((codes == -1).sum()) :]
+        t, v, codes = t[order], v[order], codes[order]
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]]) if len(codes) else np.array([], dtype=np.int64)
+        ends = np.r_[starts[1:], len(codes)] if len(starts) else starts
+        key_arr = np.asarray(uniques, dtype=object)
+        buf_t, buf_v, buf_k, buf_lens, buffered = [], [], [], [], 0
+        for s, e in zip(starts, ends):
+            t_out, v_out, _ = oracle.process_tv(t[s:e], v[s:e], cfg)
+            buf_t.append(t_out)
+            buf_v.append(v_out)
+            buf_k.append(key_arr[codes[s]])
+            buf_lens.append(len(t_out))
+            buffered += len(t_out)
+            if buffered >= 262_144:
+                yield pd.DataFrame(
+                    {
+                        "series_key": np.repeat(np.asarray(buf_k, dtype=object), buf_lens),
+                        "t": np.concatenate(buf_t),
+                        "value": np.concatenate(buf_v),
+                    }
+                )
+                buf_t, buf_v, buf_k, buf_lens, buffered = [], [], [], [], 0
+        if buf_lens:
+            yield pd.DataFrame(
+                {
+                    "series_key": np.repeat(np.asarray(buf_k, dtype=object), buf_lens),
+                    "t": np.concatenate(buf_t),
+                    "value": np.concatenate(buf_v),
+                }
+            )
 
     # assume_clustered: the caller guarantees no series straddles input
     # partitions (a bucketed store read via sources/bucketstore — the
@@ -151,24 +191,31 @@ def correct_and_rollup(
     sec = TIER_SECONDS[tier]
     cfg = {**oracle.DEFAULT_CONFIG, **(config or {})}
     if num_partitions is None:
-        num_partitions = points.sparkSession.sparkContext.defaultParallelism * 4
+        num_partitions = points.sparkSession.sparkContext.defaultParallelism * 2
 
     def _process_partition(batches):
+        # r6: factorize + array-native process_tv (see correct_series)
         chunks = list(batches)
         if not chunks:
             return
         pdf = pd.concat(chunks, ignore_index=True)
-        ts_list, vs_list, keys = [], [], []
-        for key, grp in pdf.groupby(key_col, sort=False):
-            frame = grp[[time_col, value_col]].rename(columns={time_col: "t", value_col: "value"})
-            out = oracle.process_series(frame, "t", "value", cfg)
-            # keep only the flat float64 arrays — the corrected frame is
-            # released per series, so peak worker memory stays pdf + flat
-            # arrays, not pdf + every corrected frame at once
-            ts_list.append(out["t"].to_numpy(dtype=np.float64))
-            vs_list.append(out["value"].to_numpy(dtype=np.float64))
-            keys.append(key)
+        karr = pdf[key_col].to_numpy()
+        t = pdf[time_col].to_numpy(dtype=np.float64)
+        v = pdf[value_col].to_numpy(dtype=np.float64)
         del pdf, chunks
+        codes, uniques = pd.factorize(karr)
+        order = np.argsort(codes, kind="stable")
+        order = order[int((codes == -1).sum()) :]
+        t, v, codes = t[order], v[order], codes[order]
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]]) if len(codes) else np.array([], dtype=np.int64)
+        ends = np.r_[starts[1:], len(codes)] if len(starts) else starts
+        key_arr = np.asarray(uniques, dtype=object)
+        ts_list, vs_list, keys = [], [], []
+        for s, e in zip(starts, ends):
+            t_out, v_out, _ = oracle.process_tv(t[s:e], v[s:e], cfg)
+            ts_list.append(t_out)
+            vs_list.append(v_out)
+            keys.append(key_arr[codes[s]])
         yield _bucket_rollup_partition(ts_list, vs_list, keys, sec)
 
     return points.repartition(num_partitions, key_col).mapInPandas(
@@ -295,28 +342,39 @@ def correct_rollup_lineage(
     sec = TIER_SECONDS[tier]
     cfg = {**oracle.DEFAULT_CONFIG, **(config or {})}
     if num_partitions is None:
-        num_partitions = points.sparkSession.sparkContext.defaultParallelism * 4
+        num_partitions = points.sparkSession.sparkContext.defaultParallelism * 2
 
     roll_cols = ["bucket_start", "cnt", "vsum", "vmin", "vmax", "vfirst", "vlast"]
     lin_cols = ["step", "n_detected", "n_rows_in", "n_rows_out", "detail"]
     out_cols = ["series_key"] + roll_cols + lin_cols + ["row_kind"]
 
     def _process_partition(batches):
+        # r6: factorize + array-native process_tv (see correct_series)
         chunks = list(batches)
         if not chunks:
             return
         pdf = pd.concat(chunks, ignore_index=True)
+        karr = pdf[key_col].to_numpy()
+        t = pdf[time_col].to_numpy(dtype=np.float64)
+        v = pdf[value_col].to_numpy(dtype=np.float64)
+        del pdf, chunks
+        codes, uniques = pd.factorize(karr)
+        order = np.argsort(codes, kind="stable")
+        order = order[int((codes == -1).sum()) :]
+        t, v, codes = t[order], v[order], codes[order]
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]]) if len(codes) else np.array([], dtype=np.int64)
+        ends = np.r_[starts[1:], len(codes)] if len(starts) else starts
+        key_arr = np.asarray(uniques, dtype=object)
         ts_list, vs_list, keys, lin_rows = [], [], [], []
-        for key, grp in pdf.groupby(key_col, sort=False):
-            frame = grp[[time_col, value_col]].rename(columns={time_col: "t", value_col: "value"})
-            out, stats = oracle.process_series_with_stats(frame, "t", "value", cfg)
-            ts_list.append(out["t"].to_numpy(dtype=np.float64))
-            vs_list.append(out["value"].to_numpy(dtype=np.float64))
+        for s, e in zip(starts, ends):
+            key = key_arr[codes[s]]
+            t_out, v_out, stats = oracle.process_tv(t[s:e], v[s:e], cfg)
+            ts_list.append(t_out)
+            vs_list.append(v_out)
             keys.append(key)
             lin_rows.extend(
-                (key, s, int(d), int(i), int(o), det) for s, d, i, o, det in stats
+                (key, st, int(d), int(i), int(o), det) for st, d, i, o, det in stats
             )
-        del pdf, chunks
         agg = _bucket_rollup_partition(ts_list, vs_list, keys, sec)
         # the absent side's columns get explicit dtypes (nullable Int64 /
         # float64 / object) so the concat is dtype-stable

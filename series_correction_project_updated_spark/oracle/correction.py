@@ -500,6 +500,185 @@ def correct_jumps(
 # ---------------------------------------------------------------------------
 
 
+def _argsort_like_pandas(t: np.ndarray) -> np.ndarray:
+    """The exact permutation ``pd.DataFrame.sort_values(by=t)`` applies:
+    pandas ``nargsort(kind='quicksort', na_position='last')`` — quicksort
+    over the non-NaN values, NaN positions appended in original order.
+    With no NaNs this is plain ``np.argsort(kind='quicksort')``."""
+    mask = np.isnan(t)
+    if not mask.any():
+        return np.argsort(t, kind="quicksort")
+    non_nan_idx = np.flatnonzero(~mask)
+    indexer = non_nan_idx[np.argsort(t[non_nan_idx], kind="quicksort")]
+    return np.concatenate([indexer, np.flatnonzero(mask)])
+
+
+def _sorted_tv(t: np.ndarray, v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Array twin of ``_sorted_by_time`` — identity when strictly
+    increasing, else the pandas sort permutation."""
+    if len(t) > 1 and not bool(np.all(np.diff(t) > 0)):
+        order = _argsort_like_pandas(t)
+        return t[order], v[order]
+    return t, v
+
+
+def _correct_outliers_tv(
+    v: np.ndarray, outlier_indices: list[int], window_size: int, method: str
+) -> np.ndarray:
+    """Array twin of ``correct_outliers`` — identical numpy operations on
+    the same float64 buffers, minus the frame plumbing."""
+    values = v.copy()
+    if method == "interpolate":
+        # pandas 'linear' interpolate over a RangeIndex with
+        # limit_direction='both' IS np.interp over positions (see the
+        # correct_gaps fast-path note; same dispatch in pandas/core/missing)
+        values[outlier_indices] = np.nan
+        invalid = np.isnan(values)
+        if invalid.any() and not invalid.all():
+            pos = np.arange(len(values), dtype=np.float64)
+            values[invalid] = np.interp(pos[invalid], pos[~invalid], values[~invalid])
+        return values
+    if method == "remove":
+        values[outlier_indices] = np.nan
+        return values
+    if method not in ("median", "mean"):
+        return values
+    n = len(values)
+    calc = values.copy()
+    mask = np.zeros(n, dtype=bool)
+    mask[outlier_indices] = True
+    calc[mask] = np.nan
+    pad = window_size // 2
+    padded = np.pad(calc, (pad, pad), constant_values=np.nan)
+    windows = sliding_window_view(padded, window_shape=2 * pad + 1)[outlier_indices]
+    with np.errstate(invalid="ignore"), warnings.catch_warnings():
+        warnings.simplefilter("ignore", category=RuntimeWarning)
+        repl = _nanmedian_rows(windows) if method == "median" else np.nanmean(windows, axis=1)
+    ok = ~np.isnan(repl)
+    idx = np.asarray(outlier_indices)[ok]
+    values[idx] = repl[ok]
+    return values
+
+
+def _correct_jumps_tv(
+    v: np.ndarray, jump_indices: list[int], window_size: int
+) -> np.ndarray:
+    """Array twin of ``correct_jumps`` — identical numpy operations."""
+    n = len(v)
+    valid = sorted(j for j in jump_indices if window_size <= j < n - window_size)
+    if not valid:
+        return v
+    values = v.copy()
+    jumps = np.asarray(valid)
+    windows = sliding_window_view(values, window_shape=window_size)
+    before = _nanmedian_rows(windows[jumps - window_size])
+    after = _nanmedian_rows(windows[jumps])
+    ok = ~(np.isnan(before) | np.isnan(after))
+    offsets = np.zeros(n)
+    np.add.at(offsets, jumps[ok], before[ok] - after[ok])
+    return values + np.cumsum(offsets)
+
+
+def _correct_gaps_tv(
+    t: np.ndarray, v: np.ndarray, gap_indices: list[int]
+) -> tuple[np.ndarray, np.ndarray]:
+    """Array twin of ``correct_gaps``' linear/time fast path (which is
+    already pure numpy internally): insert linspace rows, argsort, interp.
+
+    Leads with the same ``_sorted_by_time`` re-sort ``correct_gaps``
+    applies to its input — identity on strictly-increasing t, but with
+    TIES the quicksort can permute tied rows, and parity requires the
+    identical permutation."""
+    t, v = _sorted_tv(t, v)
+    new_times = _gap_fill_times(t, gap_indices)
+    if new_times is not None:
+        t_all = np.concatenate([t, new_times])
+        order = np.argsort(t_all, kind="quicksort")
+        t_all = t_all[order]
+        v_all = np.concatenate([v, np.full(len(new_times), np.nan)])[order]
+    else:
+        t_all, v_all = t, v.copy()
+    invalid = np.isnan(v_all)
+    if invalid.any() and not invalid.all():
+        pos = np.arange(len(v_all), dtype=np.float64)
+        v_all[invalid] = np.interp(pos[invalid], pos[~invalid], v_all[~invalid])
+    return t_all, v_all
+
+
+#: methods the array fast path handles; anything else falls back to the
+#: frame pipeline (identical results, just slower)
+_TV_GAP_METHODS = ("time", "linear")
+_TV_OUTLIER_METHODS = ("median", "mean", "interpolate", "remove")
+
+
+def process_tv(
+    t: np.ndarray,
+    v: np.ndarray,
+    config: dict[str, Any] | None = None,
+) -> tuple[np.ndarray, np.ndarray, list[tuple[str, int, int, int, str]]]:
+    """Array-native ``process_series_with_stats`` for the kernel's exact
+    shape: two float64 arrays in, ``(t_out, v_out, stats)`` out.
+
+    BIT-IDENTICAL to the frame pipeline (pinned by
+    tests/test_spark_kernel.py equality asserts and a dedicated parity
+    test): every numeric step runs the same numpy calls on the same
+    float64 buffers — only the pandas frame plumbing (per-series frame
+    construction, ``.copy()``/``__getitem__``/``astype`` block-manager
+    churn, ~70%% of kernel time on short series) is gone. Falls back to
+    the frame pipeline for exotic gap/outlier methods.
+    """
+    cfg = {**DEFAULT_CONFIG, **(config or {})}
+    if (
+        cfg["gap_method"] not in _TV_GAP_METHODS
+        or cfg["outlier_method"] not in _TV_OUTLIER_METHODS
+    ):
+        frame = pd.DataFrame({"t": t, "value": v})
+        out, stats = process_series_with_stats(frame, "t", "value", cfg)
+        return (
+            out["t"].to_numpy(dtype=np.float64),
+            out["value"].to_numpy(dtype=np.float64),
+            stats,
+        )
+    raw_steps = cfg.get("steps")
+    steps = frozenset(("gaps", "outliers", "jumps") if raw_steps is None else raw_steps)
+    unknown = steps - {"gaps", "outliers", "jumps"}
+    if unknown:
+        raise ValueError(f"unknown steps: {sorted(unknown)}")
+    t = np.ascontiguousarray(t, dtype=np.float64)
+    v = np.ascontiguousarray(v, dtype=np.float64)
+    t, v = _sorted_tv(t, v)
+    n_in = len(t)
+
+    if "gaps" in steps:
+        gaps = detect_gaps(t, cfg["gap_threshold_factor"])
+        if gaps:
+            t, v = _correct_gaps_tv(t, v, gaps)
+            t, v = _sorted_tv(t, v)
+        n_after_gaps = len(t)
+        stats = [("gaps", len(gaps), n_in, n_after_gaps, f"inserted={n_after_gaps - n_in}")]
+    else:
+        n_after_gaps = n_in
+        stats = [("gaps", 0, n_in, n_in, "skipped")]
+
+    if "outliers" in steps:
+        outliers = detect_outliers(v, cfg["window_size"], cfg["threshold"])
+        if outliers:
+            v = _correct_outliers_tv(v, outliers, cfg["window_size"], cfg["outlier_method"])
+        stats.append(("outliers", len(outliers), n_after_gaps, len(t), ""))
+    else:
+        stats.append(("outliers", 0, n_after_gaps, len(t), "skipped"))
+
+    if "jumps" in steps:
+        jumps = detect_jumps(v, cfg["window_size"], cfg["threshold"])
+        if jumps:
+            v = _correct_jumps_tv(v, jumps, cfg["window_size"])
+        stats.append(("jumps", len(jumps), len(t), len(t), ""))
+    else:
+        stats.append(("jumps", 0, len(t), len(t), "skipped"))
+
+    return t, v, stats
+
+
 def process_series_with_stats(
     df: pd.DataFrame,
     time_col: str,
