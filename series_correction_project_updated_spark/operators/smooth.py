@@ -283,6 +283,102 @@ def ewma_smooth(
     )
 
 
+def ewma_holt_smooth(
+    points: DataFrame,
+    alpha: float,
+    beta: float,
+    key_col: str = "series_key",
+    time_col: str = "t",
+    value_col: str = "value",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EWMA and Holt smoothing FUSED into one kernel pass (r6 optimization):
+    one scan, one shuffle, one per-partition sort and one Arrow boundary
+    instead of two of each — the union ``ewma_smooth(pts) ∪ holt_smooth(pts)``
+    with a discriminator column, row-for-row identical (pinned by
+    tests/test_smooth.py::test_fused_equals_union).
+
+    Output: (op, key, t, value, m1, m2, m3) where op='ewm' carries
+    (ewma, ewm_std, ewm_z) and op='holt' carries (level, trend, yhat) in
+    m1..m3. Per-series math is the SAME code paths (``ewm_mean_var``,
+    ``holt_level_trend``) as the standalone operators.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if not 0.0 <= beta <= 1.0:
+        raise ValueError(f"beta must be in [0, 1], got {beta}")
+    if num_partitions is None:
+        num_partitions = points.sparkSession.sparkContext.defaultParallelism * 2
+
+    cols = [key_col, time_col, value_col]
+    out_schema = T.StructType(
+        [T.StructField("op", T.StringType())]
+        + [points.schema[c] for c in cols]
+        + [
+            T.StructField("m1", T.DoubleType()),
+            T.StructField("m2", T.DoubleType()),
+            T.StructField("m3", T.DoubleType()),
+        ]
+    )
+
+    def _run(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values([key_col, time_col])
+        vals = pdf[value_col].to_numpy(dtype=np.float64)
+        n = len(pdf)
+        ew = np.full(n, np.nan)
+        st = np.full(n, np.nan)
+        zs = np.full(n, np.nan)
+        lv = np.full(n, np.nan)
+        tr = np.full(n, np.nan)
+        yh = np.full(n, np.nan)
+        keys = pdf[key_col].to_numpy()
+        bounds = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+        for s, e in zip(
+            np.concatenate(([0], bounds)), np.concatenate((bounds, [n]))
+        ):
+            x = vals[s:e]
+            ok = ~np.isnan(x)
+            xi = x[ok]
+            if len(xi) == 0:
+                continue
+            idx = np.flatnonzero(ok) + s
+            y, v = ewm_mean_var(xi, alpha)
+            sd = np.sqrt(v)
+            z = np.full(len(xi), np.nan)
+            if len(xi) > 1:
+                prev_sd = sd[:-1]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    z[1:] = np.where(
+                        prev_sd >= 1e-12, (xi[1:] - y[:-1]) / prev_sd, np.nan
+                    )
+            ew[idx] = y
+            st[idx] = sd
+            zs[idx] = z
+            level, trend = holt_level_trend(xi, alpha, beta)
+            fc = np.full(len(xi), np.nan)
+            fc[1:] = level[:-1] + trend[:-1]
+            lv[idx] = level
+            tr[idx] = trend
+            yh[idx] = fc
+        base = pdf[cols]
+        yield pd.concat(
+            [
+                base.assign(op="ewm", m1=ew, m2=st, m3=zs),
+                base.assign(op="holt", m1=lv, m2=tr, m3=yh),
+            ],
+            ignore_index=True,
+        )[["op"] + cols + ["m1", "m2", "m3"]]
+
+    return (
+        points.select(*cols)
+        .repartition(num_partitions, key_col)
+        .mapInPandas(_run, schema=out_schema)
+    )
+
+
 def holt_forecast(
     points: DataFrame,
     alpha: float,

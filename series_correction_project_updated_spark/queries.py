@@ -2831,7 +2831,11 @@ def q_drift_classes(spark, sf_dir):
             .alias("text"),
         )
     )
-    d = content_drift(pages, time_col="t", hamming_threshold=8, portable=True)
+    # localCheckpoint: d feeds BOTH union arms (crawl rows + summary), and
+    # without it the whole md5-token-hash + simhash-fold + window subtree
+    # executes twice — the q_word_overlap_pairs multi-consumer lesson.
+    # ~6k small rows, so the materialization itself is trivial. (r6)
+    d = content_drift(pages, time_col="t", hamming_threshold=8, portable=True).localCheckpoint()
     nulls = lambda i0: _null_cols(i0, 8)  # noqa: E731
     crawls = d.select(
         F.lit("crawl").alias("part"),
@@ -3175,7 +3179,7 @@ def q_smooth(spark, sf_dir):
     decimal, so outputs are generic reals and the drift is invisible at
     the floor-quantized 4dp. The oracle replays the
     SCALAR recurrences with DuckDB recursive CTEs."""
-    from .operators.smooth import ewma_smooth, holt_smooth
+    from .operators.smooth import ewma_holt_smooth
 
     # explicit null filter matching the oracle's WHERE value IS NOT NULL:
     # the smoothers skip nulls in their state, the recursive-CTE oracle
@@ -3192,19 +3196,17 @@ def q_smooth(spark, sf_dir):
     # DuckDB half-even disagree (the q_gapfill_linear lesson) — floor of
     # x*1e4+0.5 is identical IEEE arithmetic on both engines
     q4 = lambda c: (F.floor(F.col(c) * 10000 + F.lit(0.5)) / 10000).alias  # noqa: E731
-    e = ewma_smooth(pts, alpha=1 / 3).select(
-        F.lit("ewm").alias("op"), key, F.round("t", 6).alias("t"), "value",
-        q4("ewma")("x1"),
-        q4("ewm_std")("x2"),
-        q4("ewm_z")("x3"),
-    )
-    h = holt_smooth(pts, alpha=1 / 3, beta=1 / 7).select(
-        F.lit("holt").alias("op"), key, F.round("t", 6).alias("t"), "value",
-        q4("level")("x1"),
-        q4("trend")("x2"),
-        q4("yhat")("x3"),
-    )
-    return e.unionByName(h).orderBy("op", "key", "t")
+    # r6: one fused kernel pass (ewma_holt_smooth) instead of two separate
+    # scan+shuffle+Arrow passes union'd — row-identical to
+    # ewma_smooth(pts) ∪ holt_smooth(pts) (operator-level parity test), and
+    # the projections below are the same expressions either way
+    sm = ewma_holt_smooth(pts, alpha=1 / 3, beta=1 / 7)
+    return sm.select(
+        "op", key, F.round("t", 6).alias("t"), "value",
+        q4("m1")("x1"),
+        q4("m2")("x2"),
+        q4("m3")("x3"),
+    ).orderBy("op", "key", "t")
 
 
 SQL_SMOOTH = r"""
@@ -3517,8 +3519,13 @@ def q_refresh_late(spark, sf_dir):
     late = ev_id.where(F.col("event_id") % 17 == 0).drop("event_id")
     base = ev_id.where(F.col("event_id") % 17 != 0).drop("event_id")
 
-    old_1h = rollup(base, "1h")
-    ref_1h = refresh_tier(old_1h, pts, late, "1h")
+    # localCheckpoints (r6): old_1h feeds ref_1h AND the 1d cascade, ref_1h
+    # feeds ref_1d AND the output's 1h arm — without them the base rollup
+    # (full scan + shuffle) and the splice re-execute once per consumer
+    # (the plan carried 22 Exchanges; both tiers are ~10k-row tables, so
+    # materializing is trivial).
+    old_1h = rollup(base, "1h").localCheckpoint()
+    ref_1h = refresh_tier(old_1h, pts, late, "1h").localCheckpoint()
     inv = invalidated_buckets(late, "1h")
     old_1d = cascade(old_1h, "1d")
     ref_1d = refresh_cascade(ref_1h, old_1d, inv, "1d")

@@ -238,3 +238,35 @@ def test_holt_forecast_validation(spark, series):
         holt_forecast(series, 0.3, 0.1, horizon=0, step=60.0)
     with pytest.raises(ValueError):
         holt_forecast(series, 0.3, 0.1, horizon=2, step=0.0)
+
+
+def test_fused_equals_union(spark, series):
+    """r6: ewma_holt_smooth (one kernel pass) must be row-identical to the
+    union of the two standalone operators with a discriminator column."""
+    from series_correction_project_updated_spark.operators.smooth import (
+        ewma_holt_smooth,
+        holt_smooth,
+    )
+
+    alpha, beta = 1 / 3, 1 / 7
+    fused = (
+        ewma_holt_smooth(series, alpha, beta)
+        .orderBy("op", "series_key", "t")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    e = ewma_smooth(series, alpha).select(
+        F.lit("ewm").alias("op"), "series_key", "t", "value",
+        F.col("ewma").alias("m1"), F.col("ewm_std").alias("m2"), F.col("ewm_z").alias("m3"),
+    )
+    h = holt_smooth(series, alpha, beta).select(
+        F.lit("holt").alias("op"), "series_key", "t", "value",
+        F.col("level").alias("m1"), F.col("trend").alias("m2"), F.col("yhat").alias("m3"),
+    )
+    want = (
+        e.unionByName(h)
+        .orderBy("op", "series_key", "t")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fused, want, check_exact=True)
