@@ -46,6 +46,39 @@ def portable_hash60(col: F.Column) -> F.Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def portable_hash60_np(strings) -> np.ndarray:
+    """``portable_hash60`` as a vectorized Python function: int64 array of
+    ``int(md5(utf8(s)).hexdigest()[:15], 16)`` — bit-identical to the JVM
+    ``conv(substr(md5(w),1,15),16,10)`` expression (parity-pinned in
+    tests/test_dedup_key_encoding.py).
+
+    Why it exists (r6): the JVM expression chain md5→hex-string→substr→
+    conv(decimal-string)→cast measured ~15µs/token — 8× the whole
+    xxhash64 path on the token-hash benchmarks. hashlib.md5 plus an int
+    parse is ~0.6µs, and a PER-CALL memo collapses repeated tokens
+    (natural-language corpora repeat heavily). The memo is scoped to one
+    call — a pure-function cache, no cross-run state."""
+    import hashlib
+
+    memo: dict[str, int] = {}
+    md5 = hashlib.md5
+    out = np.empty(len(strings), dtype=np.int64)
+    for i, w in enumerate(strings):
+        r = memo.get(w)
+        if r is None:
+            r = int(md5(w.encode("utf-8")).hexdigest()[:15], 16)
+            memo[w] = r
+        out[i] = r
+    return out
+
+
+@F.pandas_udf(T.LongType())
+def _portable_hash60_py(s: pd.Series) -> pd.Series:
+    """Arrow-batch wrapper over ``portable_hash60_np`` for per-row string
+    columns (the minhash shingle path)."""
+    return pd.Series(portable_hash60_np(s.to_numpy(dtype=object)))
+
+
 def _filtered_words(text_col: str) -> F.Column:
     """Whitespace tokens with empties dropped — parity with DuckDB
     ``list_filter(string_split_regex(...), w -> w <> '')``."""
@@ -81,7 +114,9 @@ def minhash_signatures(
         sh = docs.select(F.col(id_col), words.alias("w")).select(
             F.col(id_col), F.explode(shingles_from_words("w", shingle_k)).alias("s")
         )
-        hp = F.pmod(portable_hash60(F.col("s")), F.lit(PORTABLE_P))
+        # r6: Python md5 (memoized Arrow batches) instead of the JVM
+        # md5→conv chain — same values, ~8× less per-shingle cost
+        hp = F.pmod(_portable_hash60_py(F.col("s")), F.lit(PORTABLE_P))
         sh = sh.select(F.col(id_col), hp.alias("hp"))
         mins = [
             F.min(
@@ -267,9 +302,13 @@ def simhash_signatures(
     same vote rule (bit i of token hash → ±1), same >0 threshold, bit 63 on
     the two's-complement sign position. Empty/NULL text → 0.
     """
-    sig = docs.select(
-        F.col(id_col), _simhash_fold(_token_hashes(text_col, portable=portable)).alias("simhash")
-    )
+    if portable:
+        # r6: token md5 moved INTO the Arrow fold (memoized hashlib) — the
+        # JVM md5→conv chain was ~8× the cost of the whole xxhash64 path
+        fold = _simhash_fold_portable(_filtered_words(text_col))
+    else:
+        fold = _simhash_fold(_token_hashes(text_col))
+    sig = docs.select(F.col(id_col), fold.alias("simhash"))
     return sig.withColumn("band", F.shiftrightunsigned("simhash", 48).cast("int"))
 
 
@@ -304,6 +343,17 @@ def _simhash_fold(hash_arrays: pd.Series) -> pd.Series:
     """Arrow-batch wrapper over ``simhash_fold_np`` (module scope so the
     UDF is pickled/registered once, not per query build)."""
     return pd.Series(simhash_fold_np(hash_arrays))
+
+
+@F.pandas_udf(T.LongType())
+def _simhash_fold_portable(word_arrays: pd.Series) -> pd.Series:
+    """Portable-mode fold taking token STRINGS: hashes tokens with the
+    memoized Python md5-prefix (``portable_hash60_np`` — bit-identical to
+    the JVM expression) then runs the standard vote fold. One Arrow pass
+    replaces the JVM per-token md5→conv chain (r6; ~8× on that stage)."""
+    return pd.Series(
+        simhash_fold_np([portable_hash60_np(ws) for ws in word_arrays])
+    )
 
 
 # A third shape was measured and rejected: explode token hashes → 64 per-bit

@@ -104,15 +104,28 @@ def content_drift(
     classification law and values are identical (test-pinned).
     """
     # lazy: dedup's module-scope pandas_udf needs an active SparkSession
-    from .dedup import _simhash_fold, _token_hashes, simhash_fold_np
+    from .dedup import (
+        _filtered_words,
+        _simhash_fold,
+        _simhash_fold_portable,
+        _token_hashes,
+        portable_hash60_np,
+        simhash_fold_np,
+    )
 
     if assume_clustered:
         thr = int(hamming_threshold)
+        # portable: ship token STRINGS and md5 them inside the kernel with
+        # the memoized Python hash (r6 — the JVM md5→conv chain measured
+        # ~8× the xxhash64 path); non-portable keeps JVM xxhash64 tokens
+        tok_col = (
+            _filtered_words(text_col) if portable else _token_hashes(text_col)
+        )
         pre = pages.select(
             F.col(url_col).cast("string").alias("url"),
             F.col(time_col).cast("timestamp_ltz").cast("double").alias("t"),
             F.xxhash64(F.coalesce(F.col(text_col), F.lit(""))).alias("exact_hash"),
-            _token_hashes(text_col, portable=portable).alias("_tokh"),
+            tok_col.alias("_tokh"),
         )
 
         def _process_partition(batches):
@@ -120,7 +133,12 @@ def content_drift(
             if not chunks:
                 return
             pdf = pd.concat(chunks, ignore_index=True)
-            pdf["simhash"] = simhash_fold_np(pdf["_tokh"])
+            arrays = (
+                [portable_hash60_np(ws) for ws in pdf["_tokh"]]
+                if portable
+                else pdf["_tokh"]
+            )
+            pdf["simhash"] = simhash_fold_np(arrays)
             pdf = pdf.drop(columns=["_tokh"]).sort_values(
                 ["url", "t", "exact_hash"], kind="mergesort"
             )
@@ -158,11 +176,16 @@ def content_drift(
 
         return pre.mapInPandas(_process_partition, schema=DRIFT_SCHEMA)
 
+    fold = (
+        _simhash_fold_portable(_filtered_words(text_col))
+        if portable
+        else _simhash_fold(_token_hashes(text_col))
+    )
     sig = pages.select(
         F.col(url_col).alias("url"),
         F.col(time_col).alias("t"),
         F.xxhash64(F.coalesce(F.col(text_col), F.lit(""))).alias("exact_hash"),
-        _simhash_fold(_token_hashes(text_col, portable=portable)).alias("simhash"),
+        fold.alias("simhash"),
     )
     w = Window.partitionBy("url").orderBy("t", "exact_hash")
     prev_exact = F.lag("exact_hash").over(w)
