@@ -413,6 +413,10 @@ def q_asof_fwd_near(spark, sf_dir):
     from .operators.asof import asof_join
 
     pts, tier = _asof_fixture(spark, sf_dir)
+    # localCheckpoint (r6): tier (a full groupBy over the events scan) is
+    # consumed by BOTH direction arms — materialize the ~2.5k-row rollup
+    # once instead of re-aggregating 600k points per arm
+    tier = tier.localCheckpoint()
     outs = []
     for d in ("forward", "nearest"):
         out = asof_join(
@@ -2970,6 +2974,11 @@ def q_analytics_tier(spark, sf_dir):
     from .operators.topk import topk_rollup
 
     ev = load(spark, sf_dir, "events")
+    # r6 note: sharing one repartitioned+localCheckpointed base between the
+    # timeweight and stateagg arms was tried and reverted — localCheckpoint
+    # does NOT preserve outputPartitioning in this Spark build (verified:
+    # Scan ExistingRDD + ENSURE_REQUIREMENTS Exchange reappears), so it
+    # only dedups a ~2MB scan while adding an eager materialization job.
     pts = _event_points(spark, sf_dir).select(
         F.col("user_id").alias("series_key"), "t", "value"
     )
@@ -3684,6 +3693,9 @@ def q_asof_dirs(spark, sf_dir):
     from .operators.asof import asof_join
 
     pts, tier = _asof_fixture(spark, sf_dir)
+    # localCheckpoint (r6): tier feeds all three direction arms — one
+    # aggregation over the events scan instead of three
+    tier = tier.localCheckpoint()
     outs = []
     for d in ("backward", "forward", "nearest"):
         out = asof_join(
