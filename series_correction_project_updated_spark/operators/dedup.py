@@ -50,26 +50,29 @@ def portable_hash60_np(strings) -> np.ndarray:
     """``portable_hash60`` as a vectorized Python function: int64 array of
     ``int(md5(utf8(s)).hexdigest()[:15], 16)`` — bit-identical to the JVM
     ``conv(substr(md5(w),1,15),16,10)`` expression (parity-pinned in
-    tests/test_dedup_key_encoding.py).
+    tests/test_portable_hash_py.py).
 
     Why it exists (r6): the JVM expression chain md5→hex-string→substr→
-    conv(decimal-string)→cast measured ~15µs/token — 8× the whole
-    xxhash64 path on the token-hash benchmarks. hashlib.md5 plus an int
-    parse is ~0.6µs, and a PER-CALL memo collapses repeated tokens
-    (natural-language corpora repeat heavily). The memo is scoped to one
-    call — a pure-function cache, no cross-run state."""
+    conv(decimal-string)→cast is allocation-heavy and degrades hard under
+    JVM heap churn (measured 0.6s fresh-session vs 4.2s after a long
+    sweep on the same data; the xxhash64 path stays flat). Here
+    ``pd.factorize`` dedups the batch C-side and hashlib.md5 runs once
+    per DISTINCT token — natural-language corpora repeat heavily, so the
+    Python loop is over the (small) vocabulary, not the token stream.
+    Scoped entirely to one call — no cross-run state."""
     import hashlib
 
-    memo: dict[str, int] = {}
+    arr = np.asarray(strings, dtype=object)
+    if len(arr) == 0:
+        return np.empty(0, dtype=np.int64)
+    codes, uniques = pd.factorize(arr)
     md5 = hashlib.md5
-    out = np.empty(len(strings), dtype=np.int64)
-    for i, w in enumerate(strings):
-        r = memo.get(w)
-        if r is None:
-            r = int(md5(w.encode("utf-8")).hexdigest()[:15], 16)
-            memo[w] = r
-        out[i] = r
-    return out
+    uh = np.fromiter(
+        (int(md5(u.encode("utf-8")).hexdigest()[:15], 16) for u in uniques),
+        dtype=np.int64,
+        count=len(uniques),
+    )
+    return uh[codes]
 
 
 @F.pandas_udf(T.LongType())
@@ -312,15 +315,12 @@ def simhash_signatures(
     return sig.withColumn("band", F.shiftrightunsigned("simhash", 48).cast("int"))
 
 
-def simhash_fold_np(hash_arrays) -> np.ndarray:
-    """The SimHash vote fold as a plain numpy function over a sequence of
-    per-row token-hash arrays — shared by the Arrow UDF below and the
-    clustered mapInPandas paths (drift's exchange-free variant), so there
-    is exactly ONE fold implementation in the codebase."""
-    lens = np.fromiter((len(a) for a in hash_arrays), dtype=np.int64, count=len(hash_arrays))
-    if lens.sum() == 0:
-        return np.zeros(len(hash_arrays), dtype=np.int64)
-    flat = np.concatenate([np.asarray(a, dtype=np.int64) for a in hash_arrays if len(a)])
+def _simhash_fold_flat(flat: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """The SimHash vote fold core over a FLAT int64 hash array with
+    per-document lengths — the one fold implementation every path
+    (Arrow UDFs, drift's clustered kernel) reduces to."""
+    if flat.size == 0:
+        return np.zeros(len(lens), dtype=np.int64)
     # (n_tokens, 64) bit matrix: little-endian byte order within each
     # uint64 word means unpackbits(bitorder='little') column i == bit i
     bits = np.unpackbits(flat.view(np.uint64).view(np.uint8), bitorder="little")
@@ -329,11 +329,22 @@ def simhash_fold_np(hash_arrays) -> np.ndarray:
     offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
     np.cumsum(lens[nonempty][:-1], out=offsets[1:])
     sums = np.add.reduceat(votes, offsets, axis=0)
-    packed = np.zeros(len(hash_arrays), dtype=np.uint64)
+    packed = np.zeros(len(lens), dtype=np.uint64)
     packed[nonempty] = np.packbits(
         (sums > 0).astype(np.uint8), axis=1, bitorder="little"
     ).view(np.uint64)[:, 0]
     return packed.view(np.int64)
+
+
+def simhash_fold_np(hash_arrays) -> np.ndarray:
+    """The SimHash vote fold over a sequence of per-row token-hash
+    arrays — shared by the Arrow UDF below and the clustered mapInPandas
+    paths (drift's exchange-free variant)."""
+    lens = np.fromiter((len(a) for a in hash_arrays), dtype=np.int64, count=len(hash_arrays))
+    if lens.sum() == 0:
+        return np.zeros(len(hash_arrays), dtype=np.int64)
+    flat = np.concatenate([np.asarray(a, dtype=np.int64) for a in hash_arrays if len(a)])
+    return _simhash_fold_flat(flat, lens)
 
 
 @F.pandas_udf(T.LongType())  # DataType, not DDL string: the fold-helper
@@ -347,13 +358,21 @@ def _simhash_fold(hash_arrays: pd.Series) -> pd.Series:
 
 @F.pandas_udf(T.LongType())
 def _simhash_fold_portable(word_arrays: pd.Series) -> pd.Series:
-    """Portable-mode fold taking token STRINGS: hashes tokens with the
-    memoized Python md5-prefix (``portable_hash60_np`` — bit-identical to
-    the JVM expression) then runs the standard vote fold. One Arrow pass
-    replaces the JVM per-token md5→conv chain (r6; ~8× on that stage)."""
-    return pd.Series(
-        simhash_fold_np([portable_hash60_np(ws) for ws in word_arrays])
+    """Portable-mode fold taking token STRINGS: one batch-wide factorize
+    dedups tokens C-side, hashlib.md5 runs once per DISTINCT token
+    (bit-identical to the JVM conv(substr(md5)) expression —
+    tests/test_portable_hash_py.py), then the standard flat vote fold.
+    Replaces the allocation-heavy JVM md5→conv chain (r6), with no
+    per-token Python loop."""
+    lens = np.fromiter(
+        (len(a) for a in word_arrays), dtype=np.int64, count=len(word_arrays)
     )
+    if lens.sum() == 0:
+        return pd.Series(np.zeros(len(word_arrays), dtype=np.int64))
+    flat_words = np.concatenate(
+        [np.asarray(a, dtype=object) for a in word_arrays if len(a)]
+    )
+    return pd.Series(_simhash_fold_flat(portable_hash60_np(flat_words), lens))
 
 
 # A third shape was measured and rejected: explode token hashes → 64 per-bit
