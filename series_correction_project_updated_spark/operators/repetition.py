@@ -19,25 +19,80 @@ original is char-weighted; the window form is the same signal, bounded
 [0,1], and needs no second pass over text). Tokenization: whitespace
 split of lowercased text — one law, pinned in tests.
 
-Scale shape: line stats are a pure-JVM projection (split +
-array_distinct — no shuffle). N-gram stats explode each doc once into
-(doc, n, gram_hash) windows for ALL requested n (8-byte hashes — text
-itself never leaves the scan), then two hash aggregates: per-gram
-counts, per-(doc,n) profile — both with map-side partials, so the
-shuffle carries distinct grams, not windows. A final conditional-agg
-pivot (fixed small ``ns``, no discovery job) and one join back to the
-per-doc line stats. No Python anywhere; hot docs cost their own token
-count, never a partition.
+Scale shape (r6): line stats are a pure-JVM projection (split +
+array_distinct — no shuffle). N-gram stats are per-document by
+definition, so they never need a shuffle at all: ONE vectorized Arrow
+pass takes each doc's token array and computes every n's
+(top_frac, dup_frac) batch-wide — tokens factorize C-side once per
+batch, n-gram keys build by iterative pair-factorization (no V^n
+overflow), and per-doc max/dup-sum reduce with ``reduceat``. Replaces
+the previous explode → per-gram hash-agg → profile agg → pivot → join
+pipeline (3 shuffles of the gram stream; gram equality was by xxhash64
+where this computes it on the tokens themselves — same law, no
+collision caveat). Hot docs cost their own token count, never a
+partition.
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = ["repetition_scores"]
+
+
+def gram_fracs_np(tok_arrays, ns: Sequence[int]) -> list[list[float | None]]:
+    """Per-doc [top_frac, dup_frac] for each n over a batch of token
+    arrays — fully vectorized (the only Python loop is over ``ns``).
+
+    For each n: window w is the n consecutive tokens starting at w;
+    ``top = max gram count / windows``, ``dup = windows in grams seen
+    more than once / windows``; docs with no window get None (too short
+    to judge — not 0). Token equality is string equality (factorize),
+    identical to the n-gram law the DuckDB oracle applies."""
+    n_docs = len(tok_arrays)
+    lens = np.fromiter((len(a) for a in tok_arrays), dtype=np.int64, count=n_docs)
+    out = np.full((n_docs, 2 * len(ns)), np.nan)
+    total = int(lens.sum())
+    if total:
+        flat = np.concatenate(
+            [np.asarray(a, dtype=object) for a in tok_arrays if len(a)]
+        )
+        codes = pd.factorize(flat)[0].astype(np.int64)
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        for j, n in enumerate(ns):
+            tots = np.maximum(lens - n + 1, 0)
+            if n > total:
+                continue
+            # combine n token codes into one gram key, re-factorizing each
+            # step so values stay < #windows (no V**n overflow)
+            key = codes[: total - n + 1]
+            for k in range(1, n):
+                nxt = codes[k : total - n + 1 + k]
+                key = pd.factorize(key * np.int64(total + 1) + nxt)[0].astype(np.int64)
+            d = doc_idx[: total - n + 1]
+            valid = d == doc_idx[n - 1 : total]
+            if not valid.any():
+                continue
+            nkey = int(key.max()) + 1
+            wk = d[valid] * np.int64(nkey) + key[valid]  # doc-major
+            wk_u, cnt = np.unique(wk, return_counts=True)
+            gdoc = wk_u // nkey
+            starts = np.flatnonzero(np.r_[True, gdoc[1:] != gdoc[:-1]])
+            mx = np.maximum.reduceat(cnt, starts)
+            dup = np.add.reduceat(np.where(cnt > 1, cnt, 0), starts)
+            docs_here = gdoc[starts]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                out[docs_here, 2 * j] = mx / tots[docs_here]
+                out[docs_here, 2 * j + 1] = dup / tots[docs_here]
+    return [
+        [None if np.isnan(x) else float(x) for x in row] for row in out
+    ]
 
 
 def repetition_scores(
@@ -70,45 +125,26 @@ def repetition_scores(
         toks.alias("_toks"),
     )
 
-    # one exploded pass yields windows for every n: (id, n, gram hash)
-    gram_arrays = [
-        F.expr(
-            f"""
-            CASE WHEN size(_toks) < {n} THEN array()
-            ELSE transform(
-              sequence(1, size(_toks) - {n - 1}),
-              i -> struct({n} AS n, xxhash64(concat_ws(' ', slice(_toks, i, {n}))) AS h)
-            ) END
-            """
-        )
-        for n in ns
-    ]
-    windows = base.select(
-        "id", F.explode(F.flatten(F.array(*gram_arrays))).alias("g")
-    ).select("id", F.col("g.n").alias("n"), F.col("g.h").alias("h"))
+    # r6: one shuffle-free Arrow pass computes every n's profile per doc
+    # (see gram_fracs_np) — replaces explode + two gram aggregates + pivot
+    # + join (3 shuffles of the gram stream)
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _fracs(tok_arrays: pd.Series) -> pd.Series:
+        return pd.Series(gram_fracs_np(tok_arrays, ns))
 
-    per_gram = windows.groupBy("id", "n", "h").agg(F.count("*").alias("c"))
-    profile = per_gram.groupBy("id", "n").agg(
-        F.max("c").alias("mx"),
-        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup"),
-        F.sum("c").alias("tot"),
+    with_fracs = base.select(
+        "id", "n_lines", "line_dup_frac", _fracs("_toks").alias("_f")
     )
-    pivoted = profile.groupBy("id").agg(
+    return with_fracs.select(
+        F.col("id").alias(id_col),
+        "n_lines",
+        "line_dup_frac",
         *[
-            F.first(
-                F.when(F.col("n") == n, F.col("mx") / F.col("tot")), ignorenulls=True
-            ).alias(f"top_{n}gram_frac")
-            for n in ns
+            F.element_at("_f", 2 * j + 1).alias(f"top_{n}gram_frac")
+            for j, n in enumerate(ns)
         ],
         *[
-            F.first(
-                F.when(F.col("n") == n, F.col("dup") / F.col("tot")), ignorenulls=True
-            ).alias(f"dup_{n}gram_frac")
-            for n in ns
+            F.element_at("_f", 2 * j + 2).alias(f"dup_{n}gram_frac")
+            for j, n in enumerate(ns)
         ],
-    )
-    return (
-        base.select("id", "n_lines", "line_dup_frac")
-        .join(pivoted, on="id", how="left")
-        .withColumnRenamed("id", id_col)
     )

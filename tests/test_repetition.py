@@ -65,11 +65,16 @@ def test_matches_python_replay(spark, docs):
 
 
 def test_plan_shape(spark, docs):
+    # r6 shape: the n-gram profile is per-document, so the whole operator
+    # is ONE Arrow pass over the scan — no shuffle, no join, no aggregate
+    # (the previous explode + 2 gram aggregates + pivot carried 3
+    # Exchanges of the gram stream)
     plan = (
         repetition_scores(docs)._jdf.queryExecution().executedPlan().toString()
     )
-    assert "Python" not in plan and "CartesianProduct" not in plan
-    assert "HashAggregate" in plan
+    assert "ArrowEvalPython" in plan
+    assert "Exchange" not in plan
+    assert "CartesianProduct" not in plan and "Join" not in plan
 
 
 def test_validation(spark, docs):
