@@ -75,20 +75,65 @@ def detect_gaps(times: np.ndarray, threshold_factor: float = 3.0) -> list[int]:
     return (np.where(diffs > threshold_factor * median_diff)[0] + 1).tolist()
 
 
+def _median3_cols(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Columnwise median of 3 via a min/max network (exact element
+    selection — identical to ``np.median`` on odd counts)."""
+    return np.maximum(np.minimum(a, b), np.minimum(np.maximum(a, b), c))
+
+
+def _median5_cols(cols: np.ndarray) -> np.ndarray:
+    """Columnwise median of 5 rows via the classic selection network:
+    ``median5(a..e) = median3(e, max(min(a,b), min(c,d)),
+    min(max(a,b), max(c,d)))`` — exact element selection, identical to
+    ``np.median`` on 5 elements (brute-force-pinned in tests). Caller
+    handles NaN rows separately (min/max networks may discard the NaN
+    branch, unlike ``np.median``)."""
+    a, b, c, d, e = cols
+    lo = np.maximum(np.minimum(a, b), np.minimum(c, d))
+    hi = np.minimum(np.maximum(a, b), np.maximum(c, d))
+    return _median3_cols(e, lo, hi)
+
+
+def _rowwise_median_small(windows: np.ndarray, window_size: int) -> np.ndarray:
+    """``np.median(windows, axis=1)`` for the kernel's small odd windows —
+    a branch-free min/max network instead of per-row partition (r6;
+    ~3× on the z-score stage). Any-NaN rows get NaN explicitly, matching
+    ``np.median``'s propagation. Falls back to ``np.median`` for widths
+    without a network."""
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", category=RuntimeWarning)
+        if window_size == 5:
+            med = _median5_cols([windows[:, k] for k in range(5)])
+        elif window_size == 3:
+            med = _median3_cols(windows[:, 0], windows[:, 1], windows[:, 2])
+        else:
+            return np.median(windows, axis=1)
+        if med.base is not None:
+            med = med.copy()
+        # ±0.0: among mixed-sign zeros the network may select a zero with
+        # a different SIGN BIT than np.median's positional pick — recompute
+        # exactly-zero medians the slow way (rare) so parity is bit-exact
+        zmask = med == 0.0
+        if zmask.any():
+            med[zmask] = np.median(windows[zmask], axis=1)
+    nanmask = np.isnan(windows).any(axis=1)
+    if nanmask.any():
+        med[nanmask] = np.nan
+    return med
+
+
 def _rolling_center_median(values: np.ndarray, window_size: int) -> np.ndarray:
     """Centered rolling median, NaN-propagating, NaN at the edges.
 
     Pads ``window_size//2`` left / ``window_size-1-window_size//2`` right with
-    NaN then takes ``np.median`` per window (reference
+    NaN then takes the rowwise median (reference
     scripts/processor.py:213-227 — NaN-in-window ⇒ NaN by design).
     """
     pad_left = window_size // 2
     pad_right = window_size - 1 - pad_left
     padded = np.pad(values, (pad_left, pad_right), constant_values=np.nan)
     windows = sliding_window_view(padded, window_shape=window_size)
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore", category=RuntimeWarning)
-        return np.median(windows, axis=1)
+    return _rowwise_median_small(windows, window_size)
 
 
 def _rolling_center_mad(values: np.ndarray, rolling_median: np.ndarray, window_size: int) -> np.ndarray:
@@ -106,9 +151,8 @@ def _rolling_center_mad(values: np.ndarray, rolling_median: np.ndarray, window_s
         end = min(start + _MAD_CHUNK, n_windows)
         win = sliding_window_view(values[start : end + window_size - 1], window_shape=window_size)
         centers = rolling_median[start + pad : end + pad, np.newaxis]
-        with warnings.catch_warnings():
-            warnings.simplefilter("ignore", category=RuntimeWarning)
-            chunks.append(np.median(np.abs(win - centers), axis=1))
+        with np.errstate(invalid="ignore"):
+            chunks.append(_rowwise_median_small(np.abs(win - centers), window_size))
     flat = np.concatenate(chunks) if chunks else np.array([])
     return np.pad(flat, (pad, n - len(flat) - pad), constant_values=np.nan)
 
@@ -155,6 +199,41 @@ def detect_outliers(values: np.ndarray, window_size: int = 5, threshold: float =
     return np.where(valid & (z > threshold))[0].tolist()
 
 
+try:  # pandas' C window kernels — the same code Series.rolling dispatches to
+    from pandas._libs.window import aggregations as _pd_window_aggregations
+except ImportError:  # pragma: no cover - pandas layout change
+    _pd_window_aggregations = None
+
+
+def _roll_mean_std(values: np.ndarray, window_size: int) -> tuple[np.ndarray, np.ndarray]:
+    """Trailing rolling mean and std (ddof=1, min_periods=window) —
+    BIT-IDENTICAL to ``pd.Series(values).rolling(window).mean()/std()``
+    because it calls the very same pandas C aggregations
+    (``roll_mean``/``roll_var`` + the ``zsqrt`` negative-variance clamp)
+    with the same fixed-window bounds, skipping only the Series/Rolling
+    API layers (~0.4 ms per call on short series — the kernel calls this
+    once per series; r6). Falls back to the API when pandas internals
+    move (parity-pinned either way)."""
+    n = len(values)
+    if _pd_window_aggregations is None:  # pragma: no cover
+        s = pd.Series(values)
+        return (
+            s.rolling(window=window_size).mean().to_numpy(),
+            s.rolling(window=window_size).std().to_numpy(),
+        )
+    end = np.arange(1, n + 1, dtype=np.int64)
+    start = np.clip(end - window_size, 0, None)
+    values = np.ascontiguousarray(values, dtype=np.float64)
+    mean = _pd_window_aggregations.roll_mean(values, start, end, window_size)
+    var = _pd_window_aggregations.roll_var(values, start, end, window_size, 1)
+    with np.errstate(all="ignore"):
+        std = np.sqrt(var)
+        neg = var < 0
+    if neg.any():
+        std[neg] = 0.0
+    return mean, std
+
+
 def detect_jumps(values: np.ndarray, window_size: int = 5, threshold: float = 3.0) -> list[int]:
     """CUSUM-style level-shift detection against the PREVIOUS trailing window.
 
@@ -168,9 +247,7 @@ def detect_jumps(values: np.ndarray, window_size: int = 5, threshold: float = 3.
     if n < window_size * 2:
         return []
 
-    series = pd.Series(values)
-    rolling_mean = series.rolling(window=window_size).mean().to_numpy()
-    rolling_std = series.rolling(window=window_size).std().to_numpy()  # ddof=1
+    rolling_mean, rolling_std = _roll_mean_std(values, window_size)
 
     mean_prev = np.roll(rolling_mean, 1)
     std_prev = np.roll(rolling_std, 1)

@@ -122,3 +122,61 @@ def test_input_arrays_not_mutated():
     oracle.process_tv(t, v, None)
     np.testing.assert_array_equal(t, t0)
     np.testing.assert_array_equal(v, v0)
+
+
+def test_median_network_matches_np_median_bruteforce():
+    """r6: the median-of-3/5 min/max networks must equal np.median exactly,
+    including NaN propagation, infs, ties, and signed zeros."""
+    from itertools import permutations, product
+
+    from series_correction_project_updated_spark.oracle.correction import (
+        _rowwise_median_small,
+    )
+
+    pools = [
+        [1.0, 2.0, 3.0, 4.0, 5.0],
+        [1.0, 1.0, 2.0, 2.0, 3.0],
+        [0.0, -0.0, 0.0, -0.0, 1.0],
+        [np.inf, -np.inf, 0.0, 5.0, -5.0],
+        [np.nan, 1.0, 2.0, 3.0, 4.0],
+        [np.nan, np.nan, np.nan, np.nan, np.nan],
+        [1e308, -1e308, 8.99e307, -8.99e307, 0.0],
+    ]
+    for w in (3, 5):
+        rows = []
+        for pool in pools:
+            rows.extend(list(p) for p in set(permutations(pool, w)))
+        rows.extend(list(p) for p in product([0.0, -0.0, 1.0, np.nan], repeat=w))
+        win = np.array(rows, dtype=np.float64)
+        got = _rowwise_median_small(win, w)
+        import warnings as _w
+
+        with _w.catch_warnings():
+            _w.simplefilter("ignore", category=RuntimeWarning)
+            want = np.median(win, axis=1)
+        np.testing.assert_array_equal(got, want)
+        # signed zeros must match too (assert_array_equal checks them,
+        # but make the intent explicit)
+        zg, zw = got == 0.0, want == 0.0
+        assert (zg == zw).all()
+        np.testing.assert_array_equal(np.signbit(got[zg]), np.signbit(want[zw]))
+
+
+def test_roll_mean_std_matches_pandas_api():
+    from series_correction_project_updated_spark.oracle.correction import (
+        _roll_mean_std,
+    )
+
+    rng = np.random.default_rng(11)
+    for w in (2, 3, 5, 7):
+        for trial in range(10):
+            n = int(rng.integers(0, 80))
+            v = rng.normal(0.0, 1e3, n)
+            if n and trial % 2:
+                v[rng.choice(n, max(1, n // 7), replace=False)] = np.nan
+            if n and trial % 3 == 0:
+                v[: min(n, w)] = 42.0  # constant run → zero/negative var path
+            got_m, got_s = _roll_mean_std(v, w)
+            s = pd.Series(v)
+            np.testing.assert_array_equal(got_m, s.rolling(window=w).mean().to_numpy())
+            np.testing.assert_array_equal(got_s, s.rolling(window=w).std().to_numpy())
