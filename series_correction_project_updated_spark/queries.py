@@ -3555,7 +3555,8 @@ def q_lttb(spark, sf_dir):
     pts = _event_points(spark, sf_dir).select(
         F.col("user_id").cast("long").alias("series_key"), "t", "value"
     )
-    return lttb_downsample(pts, 64).orderBy("series_key", "t")
+    # _presort: the LTTB kernel sits under the final sort (r6)
+    return _presort(lttb_downsample(pts, 64), "series_key").orderBy("series_key", "t")
 
 
 def q_refresh_late(spark, sf_dir):
