@@ -70,7 +70,9 @@ AUDIT = {
         ("NO Python in plan", "NO_PYTHON"),
     ],
     "q_minhash_portable": [
-        ("NO Python in plan (JVM md5 + Carter–Wegman mods)", "NO_PYTHON"),
+        # r6: the portable md5 shingle hash moved into ONE Arrow batch UDF
+        # (the JVM md5->conv chain degraded ~7x under session heap churn)
+        ("portable shingle hash via ONE Arrow projection", r"ArrowEvalPython"),
         ("band-bucket equi-join (no cartesian)", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
     ],
     "q_simhash_portable": [
@@ -119,7 +121,9 @@ AUDIT = {
         # evaluation are further mapInPandas passes with no own shuffle
         ("Arrow-batched digest compress/eval (mapInPandas)", r"MapInPandas"),
         ("events scan prunes to ts/user_id/value (no props)", r"(?s)^(?!.*ReadSchema: [^\n]*props)"),
-        ("3 exchanges: rollup agg + cascade agg + final sort", "EXCHANGES_3"),
+        # r6: +1 pre-sort exchange so the range sampler re-reads shuffle
+        # output instead of re-running both digest Arrow passes
+        ("4 exchanges: rollup agg + cascade agg + pre-sort + final sort", "EXCHANGES_4"),
         ("map-side partial aggregation before the rollup exchange", r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate"),
     ],
     "q_compress_roundtrip": [
@@ -127,11 +131,13 @@ AUDIT = {
         # 1m agg + compress repartition + final orderBy = 3; the DECODE
         # side adds none of its own (chunks are independent → mapInPandas
         # directly over the compressed store, r4)
-        ("decode adds NO shuffle of its own (3 total: agg+repartition+sort)", "EXCHANGES_3"),
+        # r6: +1 pre-sort exchange (sampling would re-run encode+decode)
+        ("decode adds NO shuffle of its own (4 total: agg+repartition+pre-sort+sort)", "EXCHANGES_4"),
     ],
     # --- r5: the newly driver-checked layers ---
     "q_hygiene": [
-        ("NO Python in plan (url canon / decontam / repetition all JVM)", "NO_PYTHON"),
+        # r6: the repetition n-gram profile is ONE shuffle-free Arrow pass
+        ("repetition profile via ONE Arrow projection (rest JVM)", r"ArrowEvalPython"),
         ("benchmark n-gram side broadcast into the doc-gram explode", r"BroadcastHashJoin"),
         ("gram windows explode via Generate (pipelined, not materialized)", r"Generate"),
     ],
@@ -141,8 +147,11 @@ AUDIT = {
         ("no join anywhere (samplers are filters/projections/windows)", r"(?s)^(?!.*(SortMergeJoin|BroadcastHashJoin|CartesianProduct))"),
     ],
     "q_drift_classes": [
-        ("signatures via ONE Arrow projection before the url shuffle", r"ArrowEvalPython|MapInPandas"),
-        ("lag window on url clustering (8-byte signatures travel, not text)", r"Window"),
+        # r6: the content_drift frame is localCheckpointed (it feeds both
+        # union arms), so the final plan reads the materialized RDD — the
+        # Arrow fold and lag window live in the checkpoint-build plan
+        ("both arms read the ONE materialized drift frame", r"Scan ExistingRDD[\s\S]*Scan ExistingRDD"),
+        ("summary arm aggregates with map-side partials", r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate"),
         ("no cartesian", r"(?s)^(?!.*CartesianProduct)"),
     ],
     "q_analytics_tier": [
@@ -151,7 +160,10 @@ AUDIT = {
         ("map-side partial aggregation before exchanges", r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate"),
     ],
     "q_smooth": [
-        ("Arrow-batched smoothers (mapInPandas x2, one repartition each)", r"MapInPandas"),
+        # r6: EWMA+Holt fused into ONE kernel pass (one scan, one
+        # repartition, one Arrow boundary instead of two of each)
+        ("ONE fused Arrow smoother pass", r"MapInPandas"),
+        ("single scan (fused arms, no union of passes)", "SCANS_1"),
         ("no join anywhere", r"(?s)^(?!.*(SortMergeJoin|BroadcastHashJoin|CartesianProduct))"),
     ],
     "q_refresh_late": [
@@ -161,7 +173,8 @@ AUDIT = {
     ],
     "q_lttb": [
         ("Arrow-batched kernel (mapInPandas over whole partitions)", r"MapInPandas"),
-        ("one repartition + final sort only", "EXCHANGES_2"),
+        # r6: +1 pre-sort exchange (sampling would re-run the LTTB kernel)
+        ("one repartition + pre-sort + final sort only", "EXCHANGES_3"),
     ],
     "q_gapfill_linear": [
         ("Arrow-batched kernel (mapInPandas over whole partitions)", r"MapInPandas"),
@@ -458,6 +471,10 @@ def main() -> None:
                 want = 1 if pat is None else int(pat.rsplit("_", 1)[1])
                 ok = n_ex == want
                 out.append(f"- {'✓' if ok else '✗'} {label} (Exchange count = {n_ex})")
+            elif isinstance(pat, str) and pat.startswith("SCANS_"):
+                n_sc = len(re.findall(r"^\s*[+\-:* ]*Scan (parquet|ExistingRDD)", plan, re.M))
+                ok = n_sc == int(pat.rsplit("_", 1)[1])
+                out.append(f"- {'✓' if ok else '✗'} {label} (scan count = {n_sc})")
             elif pat == "WIN_EXPRS_4":
                 win = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
                 n_we = (win[0].count("last(") + win[0].count("first(")) if win else -1
